@@ -1,0 +1,509 @@
+"""Spark search engine: JSON query DSL → DataFrame plans over the index.
+
+Plan shape per query (SURVEY §2.4-2.5 mapping):
+
+- leaf terms resolve to parquet scans of postings blocks with predicates on
+  (field, bucket, term): field/bucket are PARTITION columns (pruned before
+  I/O), term hits row-group min/max stats. Block payloads decode in one
+  mapInPandas (numpy codec); scoring is pure JVM expressions with IDF as a
+  driver-computed literal (exact float parity with the Python oracle).
+- boolean: must = inner joins ordered rarest-df-first (classic IR
+  intersection ordering — SURVEY §4), should = full-outer + left-to-right
+  score sum, must_not = left_anti (boolean.rs:272-290 semantics).
+- phrase: per-term position arrays joined on doc_id, adjacency-within-slop
+  verified in a vectorized pandas UDF; scored with tf = match count and
+  idf = Σ constituent idfs (phrase.rs:13-33).
+- fuzzy/regex: term-dictionary expansion over block METADATA only (parquet
+  reads just the `term` column), then a should-sum over matched terms
+  (fuzzy_term.rs:5-39, regex.rs:12-25).
+- top-k: orderBy(score desc, doc_id asc).offset(o).limit(k) — Spark compiles
+  this to TakeOrderedAndProject (per-partition partial top-k + merge), the
+  same push-down the reference coordinator does (client.rs:843-844).
+- block-max pruning: for top-k term queries, a block survives only if its
+  metadata upper bound can beat the k-th guaranteed lower bound — computed
+  entirely from (max_tf, min_len / min_tf, max_len) columns, JVM-side, before
+  any Python decode. This is the block-max WAND idea restated for a
+  metadata-first layout (SURVEY §4 "block-max pruning").
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from collections.abc import Iterator
+from dataclasses import dataclass, field as dc_field
+from functools import reduce
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bayard_spark.build.codec import varint_decode, decode_block
+from bayard_spark.build.indexer import read_postings
+from bayard_spark.query.parser import parse_query_string
+from bayard_spark.schema import IndexMeta, IndexPaths
+
+DECODED_SCHEMA = (
+    "term string, doc_id long, tf double, len double, positions array<int>"
+)
+
+
+@dataclass
+class SearchResponse:
+    """Shape of docs/rest_api/search_api.md responses."""
+
+    total_hits: int
+    documents: list = dc_field(default_factory=list)
+
+
+class SearchEngine:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.paths = IndexPaths(root)
+        with open(self.paths.meta) as f:
+            self.meta = IndexMeta.from_json(f.read())
+        from bayard_spark.analysis.analyzer import build_analyzers
+
+        self.analyzers = build_analyzers(self.meta.analyzers)
+        self.field_analyzers = {
+            f.name: f.analyzer for f in self.meta.fields if f.type == "text"
+        }
+        self.postings = read_postings(spark, self.paths)
+        self.docs = spark.read.parquet(self.paths.docs)
+        self.stats = {
+            r["field"]: {
+                "n_docs": r["n_docs"],
+                "avg_len": r["avg_len"],
+            }
+            for r in spark.read.parquet(self.paths.stats).collect()
+        }
+        self._bucket_cache: dict[str, int] = {}
+        self.k1 = self.meta.bm25_k1
+        self.b = self.meta.bm25_b
+
+    # ---------- helpers ----------
+
+    def _buckets(self, terms: list[str]) -> dict[str, int]:
+        missing = [t for t in set(terms) if t not in self._bucket_cache]
+        if missing:
+            df = self.spark.createDataFrame(
+                [(t,) for t in missing], "term string"
+            )
+            rows = df.select(
+                "term",
+                F.pmod(F.xxhash64("term"), F.lit(self.meta.num_buckets))
+                .cast("int")
+                .alias("b"),
+            ).collect()
+            for r in rows:
+                self._bucket_cache[r["term"]] = r["b"]
+        return {t: self._bucket_cache[t] for t in set(terms)}
+
+    def _leaf_blocks(self, fld: str, term: str) -> DataFrame:
+        b = self._buckets([term])[term]
+        return self.postings.filter(
+            (F.col("field") == fld)
+            & (F.col("bucket") == b)
+            & (F.col("term") == term)
+        )
+
+    def _df_of(self, fld: str, term: str) -> int:
+        """Exact document frequency from block metadata (no payload read)."""
+        return self._df_of_many(fld, [term]).get(term, 0)
+
+    def _df_of_many(self, fld: str, terms: list[str]) -> dict[str, int]:
+        """Batched df lookup: one metadata-only job for all leaf terms."""
+        uniq = sorted(set(terms))
+        buckets = self._buckets(uniq)
+        rows = (
+            self.postings.filter(
+                (F.col("field") == fld)
+                & F.col("bucket").isin(sorted(set(buckets.values())))
+                & F.col("term").isin(uniq)
+            )
+            .groupBy("term")
+            .agg(F.sum("n_docs").alias("df"))
+            .collect()
+        )
+        return {r["term"]: int(r["df"]) for r in rows}
+
+    def idf(self, fld: str, df: int) -> float:
+        n = self.stats[fld]["n_docs"]
+        return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+
+    def _decode(self, blocks: DataFrame, want_positions: bool) -> DataFrame:
+        """Decode block payloads → (term, doc_id, tf, len[, positions])."""
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                outs = []
+                for r in pdf.itertuples(index=False):
+                    doc_ids, tfs, positions, offs = decode_block(
+                        r.doc_bytes, r.tf_bytes,
+                        r.pos_bytes if want_positions else None,
+                    )
+                    lens = varint_decode(r.len_bytes)
+                    out = pd.DataFrame(
+                        {
+                            "term": r.term,
+                            "doc_id": doc_ids.astype(np.int64),
+                            "tf": tfs.astype(np.float64),
+                            "len": lens.astype(np.float64),
+                        }
+                    )
+                    if want_positions and positions is not None:
+                        pos32 = positions.astype(np.int32)
+                        out["positions"] = [
+                            pos32[offs[i]:offs[i + 1]].tolist()
+                            for i in range(len(doc_ids))
+                        ]
+                    else:
+                        out["positions"] = None
+                    outs.append(out)
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        cols = ["term", "doc_bytes", "tf_bytes", "len_bytes"] + (
+            ["pos_bytes"] if want_positions else []
+        )
+        return blocks.select(*cols).mapInPandas(run, DECODED_SCHEMA)
+
+    def _score_expr(self, idf: float, avg_len: float):
+        k1, b = self.k1, self.b
+        tf, ln = F.col("tf"), F.col("len")
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0) - F.lit(b) + F.lit(b) * ln / F.lit(avg_len)
+        )
+        return F.lit(idf) * (tf * F.lit(k1 + 1.0)) / denom
+
+    # ---------- leaf scorers → DataFrame(doc_id, score) ----------
+
+    def _term_scores(
+        self,
+        fld: str,
+        term: str,
+        topk_prune: int | None = None,
+        df_count: int | None = None,
+    ) -> DataFrame:
+        if df_count is None:
+            df_count = self._df_of(fld, term)
+        if df_count == 0:
+            return self._empty_scores()
+        idf = self.idf(fld, df_count)
+        avg = self.stats[fld]["avg_len"]
+        blocks = self._leaf_blocks(fld, term)
+        if topk_prune is not None and topk_prune <= self.meta.block_size:
+            blocks = self._prune_blocks(blocks, idf, avg)
+        return (
+            self._decode(blocks, want_positions=False)
+            .withColumn("score", self._score_expr(idf, avg))
+            .select("doc_id", "score")
+        )
+
+    def _prune_blocks(self, blocks: DataFrame, idf: float, avg: float) -> DataFrame:
+        """Metadata-only block-max pruning for top-k ≤ block_size.
+
+        ub = best possible score in block (max_tf, min_len);
+        lb = guaranteed score floor   (min_tf, max_len).
+        Any FULL block's lb is achieved by all its n_docs ≥ k docs, so
+        τ = max(lb over full blocks) is a sound threshold: prune ub < τ.
+        """
+        k1, b = self.k1, self.b
+
+        def bound(tf_col: str, len_col: str):
+            tf = F.col(tf_col).cast("double")
+            ln = F.col(len_col).cast("double")
+            denom = tf + F.lit(k1) * (
+                F.lit(1.0) - F.lit(b) + F.lit(b) * ln / F.lit(avg)
+            )
+            return F.lit(idf) * (tf * F.lit(k1 + 1.0)) / denom
+
+        meta_cols = blocks.withColumn("_ub", bound("max_tf", "min_len")).withColumn(
+            "_lb", bound("min_tf", "max_len")
+        )
+        tau_row = (
+            meta_cols.filter(F.col("n_docs") == self.meta.block_size)
+            .agg(F.max("_lb").alias("tau"))
+            .collect()[0]
+        )
+        tau = tau_row["tau"]
+        if tau is None:
+            return blocks
+        return meta_cols.filter(F.col("_ub") >= F.lit(tau)).drop("_ub", "_lb")
+
+    def _phrase_scores(
+        self, fld: str, phrase_terms: list[str], slop: int = 0
+    ) -> DataFrame:
+        if len(phrase_terms) < 2:
+            raise ValueError("phrase requires >= 2 terms")
+        df_map = self._df_of_many(fld, phrase_terms)
+        dfs = [df_map.get(t, 0) for t in phrase_terms]
+        if any(d == 0 for d in dfs):
+            return self._empty_scores()
+        sum_idf = sum(self.idf(fld, d) for d in dfs)
+        avg = self.stats[fld]["avg_len"]
+        uniq = list(dict.fromkeys(phrase_terms))
+        name_of = {t: f"p{phrase_terms.index(t)}" for t in uniq}
+        # rarest-first intersection ordering
+        order_terms = sorted(uniq, key=lambda t: df_map[t])
+        joined = None
+        for j, t in enumerate(order_terms):
+            f_t = self._decode(
+                self._leaf_blocks(fld, t), want_positions=True
+            ).select(
+                "doc_id",
+                F.col("positions").alias(name_of[t]),
+                *([F.col("len")] if j == 0 else []),
+            )
+            joined = f_t if joined is None else joined.join(f_t, "doc_id")
+        # duplicate terms in the phrase reuse the same positions column
+        pos_cols = [name_of[t] for t in phrase_terms]
+
+        slop_val = slop
+
+        def count_matches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                counts = np.zeros(len(pdf), dtype=np.float64)
+                cols = [pdf[c] for c in pos_cols]
+                for r in range(len(pdf)):
+                    lists = [list(c.iloc[r]) for c in cols[1:]]
+                    n = 0
+                    for p0 in list(cols[0].iloc[r]):
+                        opts = [p0]
+                        ok = True
+                        for nxt in lists:
+                            new = [
+                                q for q in nxt
+                                if any(0 < q - p <= slop_val + 1 for p in opts)
+                            ]
+                            if not new:
+                                ok = False
+                                break
+                            opts = new
+                        if ok:
+                            n += 1
+                    counts[r] = n
+                yield pd.DataFrame(
+                    {"doc_id": pdf["doc_id"], "tf": counts, "len": pdf["len"]}
+                )
+
+        matched = joined.mapInPandas(
+            count_matches, "doc_id long, tf double, len double"
+        ).filter(F.col("tf") > 0)
+        return matched.withColumn(
+            "score", self._score_expr(sum_idf, avg)
+        ).select("doc_id", "score")
+
+    def _expand_terms(self, fld: str, matcher) -> list[str]:
+        """Term-dictionary scan over block metadata (term column only)."""
+        terms = [
+            r["term"]
+            for r in self.postings.filter(F.col("field") == fld)
+            .select("term")
+            .distinct()
+            .collect()
+        ]
+        return [t for t in terms if matcher(t)]
+
+    def _multi_term_scores(self, fld: str, terms: list[str]) -> DataFrame:
+        """Sum of per-term BM25 over an expanded term set (fuzzy/regex)."""
+        if not terms:
+            return self._empty_scores()
+        df_map = self._df_of_many(fld, terms)
+        frames = [
+            self._term_scores(fld, t, df_count=df_map.get(t, 0))
+            for t in sorted(terms)
+            if df_map.get(t, 0) > 0
+        ]
+        if not frames:
+            return self._empty_scores()
+        unioned = reduce(lambda a, b: a.unionByName(b), frames)
+        return unioned.groupBy("doc_id").agg(F.sum("score").alias("score"))
+
+    def _empty_scores(self) -> DataFrame:
+        return self.spark.createDataFrame([], "doc_id long, score double")
+
+    def _all_scores(self) -> DataFrame:
+        return self.docs.select("doc_id", F.lit(1.0).alias("score"))
+
+    def _range_scores(self, fld: str, start, end) -> DataFrame:
+        # half-open [start, end), constant score (range.rs:52-107;
+        # docs/query_dsl.md:171-188). Date fields error, as in range.rs:101.
+        fdef = self.meta.field_def(fld)
+        if fdef.type == "date":
+            raise ValueError("Unsupported field type")  # range.rs:101-107
+        return self.docs.filter(
+            (F.col(fld) >= F.lit(start)) & (F.col(fld) < F.lit(end))
+        ).select("doc_id", F.lit(1.0).alias("score"))
+
+    # ---------- composition ----------
+
+    def scores(self, query: dict, topk_hint: int | None = None) -> DataFrame:
+        kind = query["kind"]
+        opts = query.get("options", {})
+        if kind == "all":
+            return self._all_scores()
+        if kind == "term":
+            return self._term_scores(
+                opts["field"], opts["term"], topk_prune=topk_hint
+            )
+        if kind == "phrase":
+            return self._phrase_scores(
+                opts["field"], opts["phrase_terms"], opts.get("slop", 0)
+            )
+        if kind == "range":
+            return self._range_scores(opts["field"], opts["start"], opts["end"])
+        if kind == "boost":
+            inner = self.scores(opts["query"], topk_hint=topk_hint)
+            return inner.withColumn(
+                "score", F.col("score") * F.lit(float(opts["boost"]))
+            )
+        if kind == "fuzzy_term":
+            from bayard_spark.oracle.engine import (
+                levenshtein,
+                prefix_edit_distance,
+            )
+
+            term = opts["term"]
+            dist = opts.get("distance", 1)
+            trans = opts.get("transposition_cost_one", False)
+            pref = opts.get("prefix", False)
+
+            def matcher(t: str) -> bool:
+                d = (
+                    prefix_edit_distance(term, t, trans)
+                    if pref
+                    else levenshtein(term, t, trans)
+                )
+                return d <= dist
+
+            return self._multi_term_scores(
+                opts["field"], self._expand_terms(opts["field"], matcher)
+            )
+        if kind == "regex":
+            import re as _re
+
+            rx = _re.compile(opts["regex"])
+            return self._multi_term_scores(
+                opts["field"],
+                self._expand_terms(opts["field"], lambda t: bool(rx.fullmatch(t))),
+            )
+        if kind == "boolean":
+            return self._boolean_scores(opts.get("subqueries", []))
+        if kind == "query_string":
+            ast = parse_query_string(
+                opts["query"],
+                opts["default_search_fields"],
+                self.analyzers,
+                self.field_analyzers,
+            )
+            return self.scores(ast, topk_hint=topk_hint)
+        raise ValueError(f"unknown query kind {kind!r}")
+
+    def _boolean_scores(self, subqueries: list[dict]) -> DataFrame:
+        musts, shoulds, must_nots = [], [], []
+        for i, sq in enumerate(subqueries):
+            target = {"must": musts, "should": shoulds,
+                      "must_not": must_nots}[sq["occurrence"]]
+            target.append((i, self.scores(sq["query"])))
+        if musts:
+            base = None
+            # preserve clause order for the score SUM (float parity with the
+            # oracle), joining in given order; Catalyst/AQE reorders the
+            # physical join tree anyway.
+            for i, (ordinal, m) in enumerate(musts):
+                m = m.withColumnRenamed("score", f"_m{i}")
+                base = m if base is None else base.join(m, "doc_id")
+            score = reduce(
+                lambda a, b: a + b, [F.col(f"_m{i}") for i in range(len(musts))]
+            )
+            cand = base.select("doc_id", score.alias("score"))
+        elif shoulds:
+            cand = None  # union path below
+        else:
+            cand = self._all_scores().withColumn("score", F.lit(0.0))
+        if shoulds:
+            sframes = [s for _, s in shoulds]
+            unioned = reduce(lambda a, b: a.unionByName(b), sframes)
+            ssum = unioned.groupBy("doc_id").agg(F.sum("score").alias("_s"))
+            if cand is None:
+                cand = ssum.select("doc_id", F.col("_s").alias("score"))
+            else:
+                cand = (
+                    cand.join(ssum, "doc_id", "left")
+                    .withColumn(
+                        "score",
+                        F.col("score") + F.coalesce(F.col("_s"), F.lit(0.0)),
+                    )
+                    .drop("_s")
+                )
+        for _, mn in must_nots:
+            cand = cand.join(mn.select("doc_id"), "doc_id", "left_anti")
+        return cand
+
+    # ---------- search API (docs/rest_api/search_api.md shape) ----------
+
+    def search(self, request: dict) -> SearchResponse:
+        query = request["query"]
+        hits = int(request.get("hits", 10))
+        offset = int(request.get("offset", 0))
+        collection_kind = request.get("collection_kind", "count_and_top_docs")
+        sort = request.get("sort")
+        fields = request.get("fields", [])
+
+        want_count = collection_kind in ("count", "count_and_top_docs")
+        want_docs = collection_kind in ("top_docs", "count_and_top_docs")
+
+        scores = self.scores(
+            query, topk_hint=(hits + offset) if (want_docs and not sort) else None
+        )
+        total = -1
+        if want_count:
+            total = scores.count()
+        documents = []
+        if want_docs:
+            if sort:
+                sfield = sort["field"]
+                sdef = self.meta.field_def(sfield)
+                if not sdef.fast:
+                    raise ValueError(
+                        f"field {sfield!r} is not a fast field"
+                    )  # node.rs:1312-1331
+                joined = scores.join(
+                    self.docs.select("doc_id", "url", "warc_ts", sfield),
+                    "doc_id",
+                )
+                order = (
+                    [F.col(sfield).asc(), F.col("doc_id").asc()]
+                    if sort.get("order", "asc") == "asc"
+                    else [F.col(sfield).desc(), F.col("doc_id").asc()]
+                )
+                top = joined.orderBy(*order)
+                sort_col = sfield
+            else:
+                joined = scores.join(
+                    self.docs.select(
+                        "doc_id", "url", "warc_ts",
+                        *[f for f in fields if f not in ("url", "warc_ts")],
+                    ),
+                    "doc_id",
+                )
+                top = joined.orderBy(F.desc("score"), F.asc("doc_id"))
+                sort_col = None
+            rows = top.offset(offset).limit(hits).collect() if offset else (
+                top.limit(hits).collect()
+            )
+            for r in rows:
+                d = r.asDict()
+                documents.append(
+                    {
+                        "id": d.get("url"),
+                        "score": float(d.get("score", 0.0)),
+                        "timestamp": str(d.get("warc_ts")),
+                        "sort_value": d.get(sort_col) if sort_col else None,
+                        "fields": {f: d.get(f) for f in fields},
+                    }
+                )
+        return SearchResponse(total_hits=total, documents=documents)
