@@ -312,6 +312,169 @@ def q_tpch_revenue(spark, sf_dir):
     )
 
 
+# ------------------------------------- approximate dedup / similarity ops
+# These use an md5-derived 60-bit hash (identical in Spark and DuckDB —
+# verified bit-for-bit) so the approximate algorithms are reproducible by
+# the oracle. The production variants in bayard_spark.functions.dedup /
+# .similarity use xxhash64 (JVM-fast) with the same structure.
+
+MINHASH_H = 8
+SIMHASH_BITS = 16
+ANN_LSH_BITS = 8
+
+
+def _pmd5(col):
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _shingles_df(spark, sf_dir, k: int = 3):
+    docs = _docs(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"[^\p{L}\p{N}]+"), lambda t: t != ""
+    )
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - k + 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return docs.select(
+        F.col("doc_id").alias("id"), F.explode(sh).alias("shingle")
+    ).distinct()
+
+
+def q_minhash_lsh(spark, sf_dir):
+    sh = _shingles_df(spark, sf_dir)
+    hs = sh.select(
+        "id",
+        *[
+            _pmd5(F.concat(F.lit(f"{i}:"), F.col("shingle"))).alias(f"x{i}")
+            for i in range(MINHASH_H)
+        ],
+    )
+    sigs = hs.groupBy("id").agg(
+        *[F.min(f"x{i}").alias(f"m{i}") for i in range(MINHASH_H)]
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.col(f"m{2 * b}").cast("string"),
+                        F.col(f"m{2 * b + 1}").cast("string"),
+                    )
+                ).alias("key"),
+            )
+            for b in range(MINHASH_H // 2)
+        ]
+    )
+    banded = sigs.select("id", F.explode(bands).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q_simhash(spark, sf_dir):
+    _, tok, _, _ = _tok_ctx(spark, sf_dir)
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    tf = tf.withColumn("th", _pmd5(F.col("term")))
+    bit_aggs = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1,
+                F.col("tf"),
+            ).otherwise(-F.col("tf"))
+        ).alias(f"b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    sums = tf.groupBy("doc_id").agg(*bit_aggs)
+    packed = None
+    for i in range(SIMHASH_BITS):
+        c = F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        packed = c if packed is None else packed + c
+    return sums.select("doc_id", packed.alias("simhash")).orderBy("doc_id")
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    sh = _shingles_df(spark, sf_dir)
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        common.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.12)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q_ann_lsh(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "v")
+    ).select("vec_id", "i", F.col("v").cast("double").alias("v"))
+    planes = (
+        spark.range(ANN_LSH_BITS)
+        .select(F.col("id").cast("int").alias("bit"))
+        .crossJoin(spark.range(64).select(F.col("id").cast("int").alias("i")))
+        .select(
+            "bit",
+            "i",
+            (
+                (_pmd5(F.concat_ws("_", F.col("bit"), F.col("i")))
+                 % 2) * 2 - 1
+            ).cast("double").alias("sign"),
+        )
+    )
+    proj = (
+        flat.join(F.broadcast(planes), "i")
+        .groupBy("vec_id", "bit")
+        .agg(F.sum(F.col("v") * F.col("sign")).alias("p"))
+    )
+    sig = (
+        proj.groupBy("vec_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("p") > 0,
+                    F.expr("shiftleft(cast(1 as bigint), bit)"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("sig")
+        )
+    )
+    return sig.orderBy("vec_id")
+
+
 # ------------------------------------------------------------- registry
 
 
@@ -377,6 +540,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine": q_ann_cosine,
         "events_daily": q_events_daily,
         "tpch_revenue": q_tpch_revenue,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_lsh": q_ann_lsh,
     }
 
 
@@ -565,6 +732,104 @@ JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name ORDER BY n_name
+"""
+
+    pmd5 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+    shingle_cte = """
+sh AS (
+  SELECT DISTINCT doc_id AS id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'),
+                           t -> t <> '') AS toks
+        FROM documents),
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i) g
+)
+"""
+
+    minhash_cols = ",\n".join(
+        f"      min({pmd5.format(x=repr(str(i)+':')+' || shingle')}) AS m{i}"
+        for i in range(MINHASH_H)
+    )
+    band_exprs = "\n    UNION ALL\n".join(
+        f"    SELECT id, {b} AS band, "
+        f"md5(m{2*b}::VARCHAR || ',' || m{2*b+1}::VARCHAR) AS key FROM sigs"
+        for b in range(MINHASH_H // 2)
+    )
+    sqls["minhash_lsh"] = f"""
+WITH {shingle_cte.strip()},
+sigs AS (
+  SELECT id,
+{minhash_cols}
+  FROM sh GROUP BY id
+),
+banded AS (
+{band_exprs}
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.key = b.key AND a.id < b.id
+ORDER BY id_a, id_b
+"""
+
+    simhash_bits = ",\n".join(
+        f"      sum(CASE WHEN (th >> {i}) & 1 = 1 THEN tf ELSE -tf END) AS b{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    simhash_pack = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    sqls["simhash"] = f"""
+{_PRELUDE},
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+th AS (SELECT doc_id, tf, {pmd5.format(x='term')} AS th FROM tf),
+sums AS (
+  SELECT doc_id,
+{simhash_bits}
+  FROM th GROUP BY doc_id
+)
+SELECT doc_id, {simhash_pack} AS simhash FROM sums ORDER BY doc_id
+"""
+
+    sqls["ngram_jaccard"] = f"""
+WITH {shingle_cte.strip()},
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id)
+SELECT id_a, id_b,
+       round(inter * 1.0 / (na.n + nb.n - inter), 6) AS jaccard
+FROM common
+JOIN sizes na ON na.id = id_a
+JOIN sizes nb ON nb.id = id_b
+WHERE inter * 1.0 / (na.n + nb.n - inter) >= 0.12
+ORDER BY id_a, id_b
+"""
+
+    plane_sign = pmd5.format(x="bit || '_' || i")
+    sig_pack = " + ".join(
+        f"(CASE WHEN max(CASE WHEN bit = {b} THEN p END) > 0 "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(ANN_LSH_BITS)
+    )
+    sqls["ann_lsh"] = f"""
+WITH flat AS (
+  SELECT vec_id, i - 1 AS i, embedding[i]::DOUBLE AS v
+  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+),
+planes AS (
+  SELECT b.bit, d.i, (({plane_sign}) % 2) * 2 - 1 AS sign
+  FROM (SELECT unnest(generate_series(0, {ANN_LSH_BITS - 1})) AS bit) b
+  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) d
+),
+proj AS (
+  SELECT vec_id, bit, sum(v * sign) AS p
+  FROM flat JOIN planes ON flat.i = planes.i
+  GROUP BY vec_id, bit
+)
+SELECT vec_id, {sig_pack} AS sig FROM proj GROUP BY vec_id ORDER BY vec_id
 """
 
     return sqls

@@ -1,0 +1,313 @@
+"""Deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design notes (the point of each op is the shuffle shape):
+
+- exact: one hash-groupBy; map-side partial agg; no skew (md5 uniform).
+- minhash LSH: per-doc signatures are computed WITHOUT exploding
+  (shingles × H) rows — each shingle row carries an array of H hashes and
+  the groupBy reduces them elementwise (H min-aggs, partial-agg friendly).
+  Banding self-join joins on (band_id, band_hash): bucket sizes are tiny by
+  construction, so the join is skew-free even on 10^12 docs.
+- simhash: 64 weighted bit-sums per doc via one explode + groupBy; near-dup
+  pairs via 4×16-bit band join (any exact-match band → candidate), verified
+  by full hamming distance, all JVM-side (no UDF at all).
+- n-gram Jaccard: shingle-inverted-index join with document-frequency capping
+  (drop shingles appearing in > max_shingle_df docs — same hot-key discipline
+  as the index builder's salting).
+
+All hashes are xxhash64 (JVM, fast). The driver-gated twins in
+__spark_entry__ use an md5-derived hash instead so DuckDB reproduces them
+bit-for-bit; semantics are identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_duplicates(
+    df: DataFrame, cols: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """Groups of exact duplicates over `cols` → (dup_hash, n_dups, keep_id,
+    member_ids). keep_id = min id (deterministic survivor)."""
+    h = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]))
+    return (
+        df.withColumn("dup_hash", h)
+        .groupBy("dup_hash")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min(id_col).alias("keep_id"),
+            F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def dedupe_exact(df: DataFrame, cols: list[str], id_col: str = "doc_id") -> DataFrame:
+    """Keep one row (min id) per exact-duplicate group — the upsert/dedupe
+    primitive (same shape as the index builder's keep-latest window)."""
+    h = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]))
+    w = Window.partitionBy(h).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """(id, shingle) — distinct k-token shingles, tokenized simple+lower."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^\p{L}\p{N}]+"),
+        lambda t: t != "",
+    )
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - k + 1, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = 64, seed: int = 42
+) -> DataFrame:
+    """(id, h0..h{H-1}) — elementwise-min of per-shingle hash arrays.
+
+    h_i(s) = xxhash64(i-th salt, s); no row explosion: one array column,
+    H partial-aggregating mins.
+    """
+    hashes = F.array(
+        *[
+            F.xxhash64(F.lit(f"{seed}:{i}"), F.col("shingle"))
+            for i in range(num_hashes)
+        ]
+    )
+    with_h = sh.withColumn("hs", hashes)
+    aggs = [
+        F.min(F.element_at("hs", i + 1)).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return with_h.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """(id_a, id_b) candidate near-dup pairs: equal signature slice in ≥1 band."""
+    num_hashes = bands * rows_per_band
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[
+                        F.col(f"h{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ]
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    missing = [f"h{i}" for i in range(num_hashes) if f"h{i}" not in signatures.columns]
+    if missing:
+        raise ValueError(f"signatures missing columns {missing[:3]}...")
+    banded = signatures.select(
+        "id", F.explode(band_structs).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, sh: DataFrame, threshold: float = 0.7
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs → (id_a, id_b, jaccard ≥ threshold)."""
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    # count common shingles via double join on shingle
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        pairs.join(a, "id_a").join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        common.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """Full MinHash-LSH pipeline: shingle → sign → band → verify."""
+    sh = shingles(df, id_col, text_col, shingle_k)
+    sigs = minhash_signatures(sh, num_hashes, seed)
+    cand = lsh_candidate_pairs(sigs, bands, num_hashes // bands)
+    return jaccard_verify(cand, sh, threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard via shingle inverted index, hot shingles capped
+    (a shingle in >max_shingle_df docs contributes O(df²) pairs — drop it,
+    as near-dup pairs always share rarer shingles too)."""
+    sh = shingles(df, id_col, text_col, k)
+    df_cap = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("sdf"))
+        .filter(F.col("sdf") <= max_shingle_df)
+        .select("shingle")
+    )
+    sh_kept = sh.join(df_cap, "shingle")
+    a = sh_kept.select(F.col("id").alias("id_a"), "shingle")
+    b = sh_kept.select(F.col("id").alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        common.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+            .alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, simhash) — 64-bit SimHash over tf-weighted token hashes,
+    entirely JVM expressions (explode → 64 conditional sums → bit pack)."""
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), r"[^\p{L}\p{N}]+"),
+                    lambda t: t != "",
+                )
+            ).alias("term"),
+        )
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("th", F.xxhash64("term"))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1,
+                F.col("tf"),
+            ).otherwise(-F.col("tf"))
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    sums = toks.groupBy("id").agg(*bit_sums)
+    packed = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        contrib = F.shiftleft(bit, i)
+        packed = contrib if packed is None else packed.bitwiseXOR(contrib)
+    return sums.select("id", packed.alias("simhash"))
+
+
+def simhash_near_pairs(
+    sigs: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """(id_a, id_b, hamming) — candidates via 4×16-bit bands (a pair within
+    hamming ≤ 3 of 64 bits must match at least one 16-bit quarter exactly),
+    verified by popcount. JVM-only."""
+    quarters = F.array(
+        *[
+            F.struct(
+                F.lit(q).alias("band"),
+                F.shiftright(F.col("simhash"), q * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("key"),
+            )
+            for q in range(4)
+        ]
+    )
+    banded = sigs.select(
+        "id", "simhash", F.explode(quarters).alias("bk")
+    ).select(
+        "id", "simhash",
+        F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

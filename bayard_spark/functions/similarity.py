@@ -1,0 +1,186 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine_topk: brute-force exact top-k against one query vector. The dot
+  product is a JVM expression (zip_with + aggregate) — no Python, no shuffle
+  except the final TakeOrderedAndProject.
+- ivf: inverted-file ANN. Centroids are chosen deterministically (hash-spread
+  sample), assignment is a one-pass argmax against the broadcast centroid
+  matrix inside Arrow batches (numpy matmul), and search probes only the
+  nprobe closest partitions — the scan is pruned by the `centroid` partition
+  column, exactly like the term-bucket pruning in the text index.
+- lsh_signatures: random-hyperplane signatures (deterministic splitmix
+  planes); bucket equality gives approximate-cosine candidates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bayard_spark.sources.webtext import _rand_u64  # deterministic PRNG
+
+
+def _dot_expr(vec_col: str, qarr) -> "F.Column":
+    return F.aggregate(
+        F.zip_with(F.col(vec_col), qarr, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm_expr(vec_col: str) -> "F.Column":
+    return F.sqrt(
+        F.aggregate(
+            F.transform(F.col(vec_col), lambda a: a.cast("double") * a),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine: one scan, JVM-side arithmetic, global top-k."""
+    qarr = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = float(np.sqrt(np.sum(np.asarray(query_vec, dtype=np.float64) ** 2)))
+    return (
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            (_dot_expr(vec_col, qarr) / (_norm_expr(vec_col) * F.lit(qn))).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def deterministic_centroids(
+    emb: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Centroid matrix: the n vectors with smallest xxhash64(id) — a
+    deterministic uniform sample (no RNG, no kmeans iterations; IVF recall
+    at this corpus scale is dominated by nprobe, not centroid quality)."""
+    rows = (
+        emb.select(id_col, vec_col)
+        .withColumn("_h", F.xxhash64(F.col(id_col).cast("string")))
+        .orderBy("_h")
+        .limit(n_centroids)
+        .collect()
+    )
+    return np.asarray([r[vec_col] for r in rows], dtype=np.float64)
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add `centroid` = argmax cosine(centroid, vec); numpy matmul per batch."""
+    c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            m = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            pdf = pdf.copy()
+            pdf["centroid"] = (mn @ c.T).argmax(axis=1).astype("int32")
+            yield pdf
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    schema = StructType(
+        list(emb.schema.fields) + [StructField("centroid", IntegerType())]
+    )
+    return emb.mapInPandas(assign, schema)
+
+
+def ivf_search(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the nprobe nearest centroids only, then exact cosine within."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    probes = np.argsort(-(cn @ qn))[:nprobe].tolist()
+    pruned = assigned.filter(F.col("centroid").isin(probes))
+    return cosine_topk(pruned, query_vec, k, id_col, vec_col)
+
+
+def lsh_signatures(
+    emb: DataFrame,
+    n_bits: int = 16,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, sig) — random-hyperplane LSH; planes are ±1 from splitmix64
+    (pure function of (seed, bit, dim): identical on every executor)."""
+
+    def sign_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes = None
+        for pdf in batches:
+            m = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            if planes is None:
+                dim = m.shape[1]
+                idx = np.arange(n_bits * dim, dtype=np.int64)
+                bits = _rand_u64(idx, 11, seed) & np.uint64(1)
+                planes = (bits.astype(np.float64) * 2 - 1).reshape(n_bits, dim)
+            proj = m @ planes.T > 0
+            sig = np.zeros(len(m), dtype=np.int64)
+            for i in range(n_bits):
+                sig |= proj[:, i].astype(np.int64) << i
+            yield pd.DataFrame({"vec_id": pdf[id_col], "sig": sig})
+
+    return emb.mapInPandas(sign_batches, "vec_id long, sig long")
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    n_bits: int = 16,
+    min_cosine: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate vectors: LSH bucket equality → exact cosine verify."""
+    sigs = lsh_signatures(emb, n_bits, id_col=id_col, vec_col=vec_col)
+    with_sig = emb.join(sigs, emb[id_col] == sigs["vec_id"]).select(
+        sigs["vec_id"], F.col(vec_col), "sig"
+    )
+    a = with_sig.select(
+        F.col("vec_id").alias("id_a"), F.col(vec_col).alias("va"), "sig"
+    )
+    b = with_sig.select(
+        F.col("vec_id").alias("id_b"), F.col(vec_col).alias("vb"), "sig"
+    )
+    pairs = a.join(b, "sig").filter(F.col("id_a") < F.col("id_b"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (_norm_expr("va") * _norm_expr("vb"))
+    return (
+        pairs.select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= min_cosine)
+        .distinct()
+    )
