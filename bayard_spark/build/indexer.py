@@ -61,6 +61,49 @@ BLOCK_SCHEMA = (
 )
 
 
+def encode_group_frame(pdf: pd.DataFrame, block_size: int = 128) -> pd.DataFrame:
+    """pandas frame of posting rows (doc_id, field, term, tf, positions,
+    doc_len, bucket, salt) → block rows (BLOCK_SCHEMA). Shared by the bulk
+    builder, incremental segment writer, and the merge compactor so block
+    bytes are identical regardless of which path wrote them."""
+    pdf = pdf.sort_values(["field", "term", "salt", "doc_id"], ignore_index=True)
+    out_rows = []
+    for (fld, term, salt), g in pdf.groupby(["field", "term", "salt"], sort=False):
+        doc_ids = g["doc_id"].to_numpy(dtype=np.int64)
+        tfs = g["tf"].to_numpy(dtype=np.int64)
+        lens = g["doc_len"].to_numpy(dtype=np.int64)
+        has_pos = g["positions"].iloc[0] is not None
+        pos_lists = g["positions"].tolist() if has_pos else None
+        bucket = int(g["bucket"].iloc[0])
+        n = len(g)
+        for b0 in range(0, n, block_size):
+            b1 = min(b0 + block_size, n)
+            d = doc_ids[b0:b1]
+            t = tfs[b0:b1]
+            ln = lens[b0:b1]
+            if has_pos:
+                flat = (
+                    np.concatenate(
+                        [np.asarray(p, dtype=np.uint64) for p in pos_lists[b0:b1]]
+                    )
+                    if b1 > b0
+                    else np.empty(0, dtype=np.uint64)
+                )
+                offs = np.zeros(b1 - b0 + 1, dtype=np.int64)
+                np.cumsum(t, out=offs[1:])
+                db, tb, pb = encode_block(d, t, flat, offs)
+            else:
+                db, tb, pb = encode_block(d, t)
+            lb = varint_encode(ln.astype(np.uint64))
+            out_rows.append(
+                (fld, bucket, term, int(salt), b0 // block_size, b1 - b0,
+                 int(d[0]), int(d[-1]), int(t.max()), int(t.min()),
+                 int(ln.min()), int(ln.max()), db, tb, lb, pb)
+            )
+    cols = [c.split(" ")[0] for c in BLOCK_SCHEMA.split(", ")]
+    return pd.DataFrame(out_rows, columns=cols)
+
+
 @dataclass
 class BuildReport:
     n_docs: int
@@ -253,46 +296,7 @@ class IndexBuilder:
             part = part.withColumn("salt", F.lit(0))
 
         def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values(["field", "term", "salt", "doc_id"],
-                                  ignore_index=True)
-            out_rows = []
-            for (fld, term, salt), g in pdf.groupby(
-                ["field", "term", "salt"], sort=False
-            ):
-                doc_ids = g["doc_id"].to_numpy(dtype=np.int64)
-                tfs = g["tf"].to_numpy(dtype=np.int64)
-                lens = g["doc_len"].to_numpy(dtype=np.int64)
-                has_pos = g["positions"].iloc[0] is not None
-                pos_lists = g["positions"].tolist() if has_pos else None
-                n = len(g)
-                for b0 in range(0, n, block_size):
-                    b1 = min(b0 + block_size, n)
-                    d = doc_ids[b0:b1]
-                    t = tfs[b0:b1]
-                    ln = lens[b0:b1]
-                    if has_pos:
-                        flat = (
-                            np.concatenate(
-                                [np.asarray(p, dtype=np.uint64)
-                                 for p in pos_lists[b0:b1]]
-                            )
-                            if b1 > b0
-                            else np.empty(0, dtype=np.uint64)
-                        )
-                        offs = np.zeros(b1 - b0 + 1, dtype=np.int64)
-                        np.cumsum(t, out=offs[1:])
-                        db, tb, pb = encode_block(d, t, flat, offs)
-                    else:
-                        db, tb, pb = encode_block(d, t)
-                    lb = varint_encode(ln.astype(np.uint64))
-                    out_rows.append(
-                        (fld, int(pdf["bucket"].iloc[0]), term, int(salt),
-                         b0 // block_size, b1 - b0, int(d[0]), int(d[-1]),
-                         int(t.max()), int(t.min()), int(ln.min()),
-                         int(ln.max()), db, tb, lb, pb)
-                    )
-            cols = [c.split(" ")[0] for c in BLOCK_SCHEMA.split(", ")]
-            return pd.DataFrame(out_rows, columns=cols)
+            return encode_group_frame(pdf, block_size)
 
         blocks = part.groupBy("bucket", "salt").applyInPandas(
             encode_group, BLOCK_SCHEMA

@@ -1,0 +1,359 @@
+"""Segment lifecycle: incremental puts, deletes, commit/rollback, merge.
+
+Reference semantics re-expressed for a storage-shared Spark layout:
+
+- put_documents: upsert = delete-by-id + add, buffered until commit
+  (bayard/src/node.rs:1108-1196, upsert pair :1191-1192). Here: a new
+  SEGMENT (postings wave dir + docs/norms appendix) is staged; existing urls
+  are tombstoned. Nothing is visible until commit().
+- delete_documents: tombstone doc_ids by url (node.rs:1198-1241).
+- commit: atomically publish staged segments + tombstones by rewriting the
+  commit log (node.rs:1243-1261 — tantivy IndexWriter::commit per shard;
+  ours is one atomic rename, strictly stronger than the reference's
+  all-shards-must-succeed fan-out, client.rs:622-658).
+- rollback: drop staged-but-uncommitted segments (node.rs:1263-1281).
+- merge_segments: sort-merge compaction of posting blocks across segments,
+  applying tombstones physically and resetting the log (the tantivy
+  background-merge analogue, CHANGES.md 0.3.0 #49).
+
+The commit log is a JSON file listing visible segment names and the current
+tombstone files; readers resolve the log first, so concurrent readers see
+either the old or the new snapshot (rename is atomic on a posix fs; on an
+object store this file maps to an Iceberg snapshot pointer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bayard_spark.schema import IndexPaths
+
+COMMIT_LOG = "commits.json"
+
+
+class CommitLog:
+    def __init__(self, root: str):
+        self.root = root
+        self.path = os.path.join(root, COMMIT_LOG)
+
+    def read(self) -> dict:
+        if not os.path.exists(self.path):
+            return {"segments": [], "tombstones": [], "version": 0}
+        with open(self.path) as f:
+            return json.load(f)
+
+    def write(self, state: dict) -> None:
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f, indent=1)
+        os.replace(tmp, self.path)  # atomic publish
+
+    def committed_segments(self) -> list[str]:
+        return list(self.read()["segments"])
+
+    def tombstone_files(self) -> list[str]:
+        return list(self.read()["tombstones"])
+
+
+class SegmentWriter:
+    """Stages new segments; commit()/rollback() control visibility."""
+
+    def __init__(self, spark: SparkSession, builder) -> None:
+        # builder: bayard_spark.build.indexer.IndexBuilder (shares analyzers,
+        # meta, paths)
+        self.spark = spark
+        self.b = builder
+        self.paths: IndexPaths = builder.paths
+        self.log = CommitLog(self.paths.root)
+        self._staged_segments: list[str] = []
+        self._staged_tombstones: list[str] = []
+
+    # ---------- helpers ----------
+
+    def _existing_docs(self) -> DataFrame:
+        # commit-log aware (committed segments included, tombstones applied)
+        # so re-puts tombstone the LATEST live version, not just base docs
+        return visible_docs(self.spark, self.paths)
+
+    def _next_doc_id(self) -> int:
+        # max over base + all segment docs including tombstoned ones — ids
+        # are never reused
+        dfs = [self.spark.read.parquet(self.paths.docs)]
+        seg_root = os.path.join(self.paths.root, "segments")
+        if os.path.exists(seg_root):
+            for seg in os.listdir(seg_root):
+                seg_docs = os.path.join(seg_root, seg, "docs")
+                if os.path.exists(seg_docs):
+                    dfs.append(self.spark.read.parquet(seg_docs))
+        m = -1
+        for d in dfs:
+            row = d.agg(F.max("doc_id").alias("m")).collect()[0]
+            m = max(m, int(row["m"] if row["m"] is not None else -1))
+        return m + 1
+
+    def _segment_name(self) -> str:
+        return f"seg{int(time.time() * 1000)}_{len(self._staged_segments)}"
+
+    # ---------- §2.1 put / delete ----------
+
+    def put_documents(self, source: DataFrame) -> str:
+        """Stage an upsert segment; returns segment name (invisible until
+        commit). Last write per url wins within the batch; urls already in
+        the index get tombstoned (delete-by-id + add)."""
+        seg = self._segment_name()
+        latest = (
+            source.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        # tombstone replaced urls
+        existing = self._existing_docs().select("doc_id", "url")
+        replaced = existing.join(latest.select("url"), "url").select("doc_id")
+        ts_file = os.path.join(
+            self.paths.root, "tombstones", f"{seg}.parquet"
+        )
+        os.makedirs(os.path.dirname(ts_file), exist_ok=True)
+        replaced.write.mode("overwrite").parquet(ts_file)
+        # assign fresh contiguous ids after the current max
+        base = self._next_doc_id()
+        w = Window.orderBy("url")
+        with_ids = latest.withColumn(
+            "doc_id", F.lit(base) + F.row_number().over(w) - 1
+        )
+        # NOTE: the single-partition window is fine for incremental batches
+        # (they are update-sized); bulk loads go through IndexBuilder.build's
+        # bucket-offset assignment.
+        seg_docs = os.path.join(self.paths.root, "segments", seg, "docs")
+        with_ids.write.mode("overwrite").parquet(seg_docs)
+        docs_df = self.spark.read.parquet(seg_docs)
+        rows = self.b.posting_rows(docs_df).withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("term"), F.lit(self.b.meta.num_buckets)).cast(
+                "int"
+            ),
+        )
+        self._write_segment_blocks(rows, seg)
+        self._staged_segments.append(seg)
+        self._staged_tombstones.append(ts_file)
+        return seg
+
+    def delete_documents(self, urls: list[str]) -> str:
+        """Stage deletes: tombstone every doc whose url matches."""
+        seg = self._segment_name() + "_del"
+        existing = self._existing_docs().select("doc_id", "url")
+        doomed = existing.filter(F.col("url").isin(urls)).select("doc_id")
+        ts_file = os.path.join(self.paths.root, "tombstones", f"{seg}.parquet")
+        os.makedirs(os.path.dirname(ts_file), exist_ok=True)
+        doomed.write.mode("overwrite").parquet(ts_file)
+        self._staged_tombstones.append(ts_file)
+        return seg
+
+    def _write_segment_blocks(self, rows: DataFrame, seg: str) -> None:
+        from bayard_spark.build.indexer import BLOCK_SCHEMA, encode_group_frame
+
+        rows = rows.withColumn("salt", F.lit(0))
+        block_size = self.b.meta.block_size
+        blocks = rows.groupBy("bucket").applyInPandas(
+            lambda pdf: encode_group_frame(pdf, block_size), BLOCK_SCHEMA
+        )
+        (
+            blocks.write.mode("overwrite")
+            .partitionBy("field", "bucket")
+            .parquet(os.path.join(self.paths.postings, f"wave={seg}"))
+        )
+
+    # ---------- §2.1 commit / rollback ----------
+
+    def commit(self) -> dict:
+        """Publish staged segments + tombstones atomically."""
+        state = self.log.read()
+        state["segments"].extend(self._staged_segments)
+        state["tombstones"].extend(self._staged_tombstones)
+        state["version"] += 1
+        self.log.write(state)
+        self._staged_segments = []
+        self._staged_tombstones = []
+        return state
+
+    def rollback(self) -> None:
+        """Discard staged work (files removed; log untouched)."""
+        for seg in self._staged_segments:
+            shutil.rmtree(
+                os.path.join(self.paths.postings, f"wave={seg}"),
+                ignore_errors=True,
+            )
+            shutil.rmtree(
+                os.path.join(self.paths.root, "segments", seg),
+                ignore_errors=True,
+            )
+        for ts in self._staged_tombstones:
+            shutil.rmtree(ts, ignore_errors=True)
+        self._staged_segments = []
+        self._staged_tombstones = []
+
+
+def visible_postings(spark: SparkSession, paths: IndexPaths) -> DataFrame:
+    """Postings across base waves + committed segments (commit-log aware)."""
+    log = CommitLog(paths.root)
+    base = spark.read.option("basePath", paths.postings).parquet(
+        os.path.join(paths.postings, "wave=*")
+    )
+    committed = set(log.committed_segments())
+    # base build waves are integers; segments are seg* names
+    is_base = F.col("wave").cast("string").rlike(r"^\d+$")
+    if committed:
+        keep = is_base | F.col("wave").isin(sorted(committed))
+    else:
+        keep = is_base
+    return base.filter(keep).drop("wave")
+
+
+def visible_docs(spark: SparkSession, paths: IndexPaths) -> DataFrame:
+    log = CommitLog(paths.root)
+    dfs = [spark.read.parquet(paths.docs)]
+    for seg in log.committed_segments():
+        seg_docs = os.path.join(paths.root, "segments", seg, "docs")
+        if os.path.exists(seg_docs):
+            dfs.append(spark.read.parquet(seg_docs))
+    out = dfs[0]
+    for d in dfs[1:]:
+        # segments may lack optional stored columns (e.g. html) — union on
+        # the common schema, padding missing ones with nulls
+        out = out.unionByName(d, allowMissingColumns=True)
+    ts = load_tombstones(spark, paths)
+    if ts is not None:
+        out = out.join(ts, "doc_id", "left_anti")
+    return out
+
+
+def load_tombstones(spark: SparkSession, paths: IndexPaths) -> DataFrame | None:
+    log = CommitLog(paths.root)
+    files = [f for f in log.tombstone_files() if os.path.exists(f)]
+    if not files:
+        return None
+    df = spark.read.parquet(*files).select("doc_id").distinct()
+    return df
+
+
+def merge_segments(spark: SparkSession, builder) -> dict:
+    """Compact all visible postings into fresh base waves, applying
+    tombstones physically; resets the commit log.
+
+    Decode → concat by doc order → re-encode happens per (bucket, salt)
+    group exactly like the build, so merged output is byte-deterministic.
+    """
+    paths: IndexPaths = builder.paths
+    log = CommitLog(paths.root)
+    post = visible_postings(spark, paths)
+    ts = load_tombstones(spark, paths)
+
+    from bayard_spark.build.codec import decode_block, varint_decode
+    from bayard_spark.build.indexer import BLOCK_SCHEMA, encode_group_frame
+
+    doomed_arr = (
+        np.asarray(sorted(r["doc_id"] for r in ts.collect()), dtype=np.int64)
+        if ts is not None
+        else np.empty(0, dtype=np.int64)
+    )
+    block_size = builder.meta.block_size
+
+    def reencode(pdf: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for (fld, term, salt), g in pdf.groupby(
+            ["field", "term", "salt"], sort=False
+        ):
+            d_all, t_all, l_all = [], [], []
+            p_all: list = []
+            for r in g.sort_values(["first_doc_id", "block_id"]).itertuples(
+                index=False
+            ):
+                d, t, p, o = decode_block(r.doc_bytes, r.tf_bytes, r.pos_bytes)
+                ln = varint_decode(r.len_bytes)
+                d_all.append(d)
+                t_all.append(t)
+                l_all.append(ln)
+                if p is not None:
+                    p_all.extend(
+                        np.asarray(p[o[i]:o[i + 1]], dtype=np.int32).tolist()
+                        for i in range(len(d))
+                    )
+                else:
+                    p_all.extend([None] * len(d))
+            d = np.concatenate(d_all).astype(np.int64)
+            t = np.concatenate(t_all).astype(np.int64)
+            ln = np.concatenate(l_all).astype(np.int64)
+            order = np.argsort(d, kind="stable")
+            # a re-put url lives under a new doc_id; its old id is doomed
+            if doomed_arr.size:
+                sel = order[~np.isin(d[order], doomed_arr)]
+            else:
+                sel = order
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": d[sel],
+                        "tf": t[sel],
+                        "doc_len": ln[sel],
+                        "positions": [p_all[i] for i in sel],
+                        "field": fld,
+                        "term": term,
+                        "salt": salt,
+                    }
+                )
+            )
+        cols = ["doc_id", "tf", "doc_len", "positions", "field", "term",
+                "salt", "bucket"]
+        if not frames:
+            return encode_group_frame(pd.DataFrame(columns=cols), block_size)
+        out = pd.concat(frames, ignore_index=True)
+        out = out[out["doc_id"].notna()]
+        out["bucket"] = int(pdf["bucket"].iloc[0])
+        return encode_group_frame(out, block_size)
+
+    merged_dir = os.path.join(paths.root, "postings_merged")
+    shutil.rmtree(merged_dir, ignore_errors=True)
+    (
+        post.groupBy("bucket")
+        .applyInPandas(reencode, BLOCK_SCHEMA)
+        .write.mode("overwrite")
+        .partitionBy("field", "bucket")
+        .parquet(os.path.join(merged_dir, "wave=0"))
+    )
+    # swap postings dir; rewrite docs without tombstones; reset log
+    new_docs_dir = os.path.join(paths.root, "docs_merged")
+    shutil.rmtree(new_docs_dir, ignore_errors=True)
+    visible_docs(spark, paths).write.mode("overwrite").parquet(new_docs_dir)
+    old_post = paths.postings + ".old"
+    shutil.rmtree(old_post, ignore_errors=True)
+    os.replace(paths.postings, old_post)
+    os.replace(merged_dir, paths.postings)
+    old_docs = paths.docs + ".old"
+    shutil.rmtree(old_docs, ignore_errors=True)
+    os.replace(paths.docs, old_docs)
+    os.replace(new_docs_dir, paths.docs)
+    shutil.rmtree(old_post, ignore_errors=True)
+    shutil.rmtree(old_docs, ignore_errors=True)
+    shutil.rmtree(os.path.join(paths.root, "segments"), ignore_errors=True)
+    shutil.rmtree(os.path.join(paths.root, "tombstones"), ignore_errors=True)
+    log.write({"segments": [], "tombstones": [], "version": log.read()["version"] + 1})
+    builder.write_norms_stats(
+        builder.posting_rows(spark.read.parquet(paths.docs))
+        .withColumn("bucket", F.lit(0)).withColumn("wave", F.lit(0))
+    )
+    return {"merged": True}
+
+

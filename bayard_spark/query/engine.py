@@ -70,8 +70,18 @@ class SearchEngine:
         self.field_analyzers = {
             f.name: f.analyzer for f in self.meta.fields if f.type == "text"
         }
-        self.postings = read_postings(spark, self.paths)
-        self.docs = spark.read.parquet(self.paths.docs)
+        from bayard_spark.build.segments import (
+            load_tombstones,
+            visible_docs,
+            visible_postings,
+        )
+
+        self.postings = visible_postings(spark, self.paths)
+        self.docs = visible_docs(spark, self.paths)
+        # Tombstoned ids are filtered out of every decoded posting stream.
+        # BM25 stats refresh only at build/merge time (documented: same
+        # semantics as per-segment-reader stats in Lucene/tantivy).
+        self.tombstones = load_tombstones(spark, self.paths)
         self.stats = {
             r["field"]: {
                 "n_docs": r["n_docs"],
@@ -168,7 +178,12 @@ class SearchEngine:
         cols = ["term", "doc_bytes", "tf_bytes", "len_bytes"] + (
             ["pos_bytes"] if want_positions else []
         )
-        return blocks.select(*cols).mapInPandas(run, DECODED_SCHEMA)
+        decoded = blocks.select(*cols).mapInPandas(run, DECODED_SCHEMA)
+        if self.tombstones is not None:
+            decoded = decoded.join(
+                F.broadcast(self.tombstones), "doc_id", "left_anti"
+            )
+        return decoded
 
     def _score_expr(self, idf: float, avg_len: float):
         k1, b = self.k1, self.b
