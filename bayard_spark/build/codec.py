@@ -33,15 +33,24 @@ BLOCK_SIZE = 128
 _MAX_VARINT_BYTES = 10
 
 
+def varint_lengths(values: np.ndarray) -> np.ndarray:
+    """Per-value LEB128 byte length (number of 7-bit groups), vectorized."""
+    v = np.asarray(values, dtype=np.uint64)
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    for k in range(1, _MAX_VARINT_BYTES):
+        mask = v >= (np.uint64(1) << np.uint64(7 * k))
+        if not mask.any():
+            break
+        nbytes += mask.astype(np.int64)
+    return nbytes
+
+
 def varint_encode(values: np.ndarray) -> bytes:
     """LEB128-encode a uint64 array, vectorized."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
-    # byte length of each value: number of 7-bit groups
-    nbytes = np.ones(v.shape, dtype=np.int64)
-    for k in range(1, _MAX_VARINT_BYTES):
-        nbytes += (v >= (np.uint64(1) << np.uint64(7 * k))).astype(np.int64)
+    nbytes = varint_lengths(v)
     total = int(nbytes.sum())
     out = np.zeros(total, dtype=np.uint8)
     ends = np.cumsum(nbytes)
@@ -93,6 +102,23 @@ def delta_encode(sorted_vals: np.ndarray) -> np.ndarray:
 def delta_decode(deltas: np.ndarray) -> np.ndarray:
     d = np.asarray(deltas, dtype=np.uint64)
     return np.cumsum(d, dtype=np.uint64)
+
+
+def split_pos_bytes(pos_bytes: bytes, tfs: np.ndarray) -> list[bytes]:
+    """Slice a block's concatenated position stream back into per-doc byte
+    runs (doc k holds tfs[k] varint values)."""
+    b = np.frombuffer(pos_bytes, dtype=np.uint8)
+    is_end = (b & 0x80) == 0
+    value_end_bytes = np.flatnonzero(is_end) + 1  # exclusive byte offset
+    offs = np.zeros(len(tfs) + 1, dtype=np.int64)
+    np.cumsum(np.asarray(tfs, dtype=np.int64), out=offs[1:])
+    out = []
+    prev = 0
+    for k in range(len(tfs)):
+        end = int(value_end_bytes[offs[k + 1] - 1]) if offs[k + 1] > 0 else 0
+        out.append(pos_bytes[prev:end])
+        prev = end
+    return out
 
 
 def encode_block(

@@ -42,16 +42,22 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bayard_spark.analysis.analyzer import Analyzer, build_analyzers
-from bayard_spark.build.codec import encode_block, varint_encode
+from bayard_spark.build.codec import encode_block, varint_encode, varint_lengths
 from bayard_spark.schema import IndexMeta, IndexPaths
 
+# positions are ALREADY delta+varint encoded per (doc, term) at analyzer
+# time — one vectorized encode over the whole Arrow batch, zero-copy sliced
+# into a BinaryArray. Block building then only concatenates bytes, and the
+# block codec's segmented decode (absolute first position per doc) reads the
+# concatenation directly.
 POSTING_ROW_SCHEMA = (
-    "doc_id long, field string, term string, tf int, positions array<int>, "
-    "doc_len int"
+    "doc_id long, field string, term string, tf int, doc_len int, "
+    "pos_bytes binary"
 )
 BLOCK_SCHEMA = (
     "field string, bucket int, term string, salt int, block_id int, "
@@ -61,44 +67,121 @@ BLOCK_SCHEMA = (
 )
 
 
+def _runs_to_record_batch(
+    frame: pd.DataFrame,
+    doc_ids: np.ndarray,
+    fname: str,
+    want_pos: bool,
+) -> pa.RecordBatch | None:
+    """Token frame (idx, token, pos) → posting-row RecordBatch, all numpy/
+    Arrow kernels (no per-group Python):
+
+    sort stably by (idx, token) — positions stay ascending within a run —
+    then run-length boundaries give (doc, term) groups: tf from run lengths,
+    positions delta-encoded in one pass with run starts reset to absolute,
+    varint-encoded as ONE array, and zero-copy sliced into a BinaryArray via
+    run byte-offsets.
+    """
+    frame = frame.sort_values(["idx", "token"], kind="stable", ignore_index=True)
+    idx = frame["idx"].to_numpy()
+    tok = frame["token"].to_numpy()
+    pos = frame["pos"].to_numpy(dtype=np.int64)
+    n = len(frame)
+    if n == 0:
+        return None
+    new_run = np.empty(n, dtype=bool)
+    new_run[0] = True
+    new_run[1:] = (idx[1:] != idx[:-1]) | (tok[1:] != tok[:-1])
+    starts = np.flatnonzero(new_run)
+    ends = np.append(starts[1:], n)
+    tf = (ends - starts).astype(np.int32)
+    run_idx = idx[starts]
+    # doc_len per source row = token count per idx
+    doc_len_per_idx = np.bincount(idx, minlength=len(doc_ids)).astype(np.int32)
+    arrays: list[pa.Array] = [
+        pa.array(doc_ids[run_idx], type=pa.int64()),
+        pa.DictionaryArray.from_arrays(
+            pa.array(np.zeros(len(starts), dtype=np.int32)), pa.array([fname])
+        ).cast(pa.string()),
+        pa.array(tok[starts]),
+        pa.array(tf, type=pa.int32()),
+        pa.array(doc_len_per_idx[run_idx], type=pa.int32()),
+    ]
+    if want_pos:
+        deltas = pos.copy()
+        deltas[1:] -= pos[:-1]
+        deltas[starts] = pos[starts]
+        u = deltas.astype(np.uint64)
+        enc = varint_encode(u)
+        blens = varint_lengths(u)
+        byte_ends = np.cumsum(blens)
+        offsets = np.zeros(len(starts) + 1, dtype=np.int32)
+        offsets[1:] = byte_ends[ends - 1]
+        arrays.append(
+            pa.BinaryArray.from_buffers(
+                pa.binary(),
+                len(starts),
+                [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(enc)],
+            )
+        )
+    else:
+        arrays.append(pa.nulls(len(starts), type=pa.binary()))
+    return pa.RecordBatch.from_arrays(
+        arrays, ["doc_id", "field", "term", "tf", "doc_len", "pos_bytes"]
+    )
+
+
 def encode_group_frame(pdf: pd.DataFrame, block_size: int = 128) -> pd.DataFrame:
-    """pandas frame of posting rows (doc_id, field, term, tf, positions,
-    doc_len, bucket, salt) → block rows (BLOCK_SCHEMA). Shared by the bulk
+    """pandas frame of posting rows (doc_id, field, term, tf, doc_len,
+    pos_bytes, bucket, salt) → block rows (BLOCK_SCHEMA). Shared by the bulk
     builder, incremental segment writer, and the merge compactor so block
-    bytes are identical regardless of which path wrote them."""
+    bytes are identical regardless of which path wrote them.
+
+    pos_bytes per posting are already delta+varint framed (absolute first
+    position per doc), so a block's pos_bytes is a plain concatenation —
+    no position re-encoding ever happens after the analyzer pass."""
     pdf = pdf.sort_values(["field", "term", "salt", "doc_id"], ignore_index=True)
     out_rows = []
     for (fld, term, salt), g in pdf.groupby(["field", "term", "salt"], sort=False):
         doc_ids = g["doc_id"].to_numpy(dtype=np.int64)
-        tfs = g["tf"].to_numpy(dtype=np.int64)
-        lens = g["doc_len"].to_numpy(dtype=np.int64)
-        has_pos = g["positions"].iloc[0] is not None
-        pos_lists = g["positions"].tolist() if has_pos else None
+        tfs = g["tf"].to_numpy(dtype=np.uint64)
+        lens = g["doc_len"].to_numpy(dtype=np.uint64)
+        has_pos = g["pos_bytes"].iloc[0] is not None
+        pos_list = g["pos_bytes"].tolist() if has_pos else None
         bucket = int(g["bucket"].iloc[0])
         n = len(g)
-        for b0 in range(0, n, block_size):
-            b1 = min(b0 + block_size, n)
-            d = doc_ids[b0:b1]
-            t = tfs[b0:b1]
-            ln = lens[b0:b1]
-            if has_pos:
-                flat = (
-                    np.concatenate(
-                        [np.asarray(p, dtype=np.uint64) for p in pos_lists[b0:b1]]
-                    )
-                    if b1 > b0
-                    else np.empty(0, dtype=np.uint64)
-                )
-                offs = np.zeros(b1 - b0 + 1, dtype=np.int64)
-                np.cumsum(t, out=offs[1:])
-                db, tb, pb = encode_block(d, t, flat, offs)
-            else:
-                db, tb, pb = encode_block(d, t)
-            lb = varint_encode(ln.astype(np.uint64))
+        starts = np.arange(0, n, block_size)
+        ends = np.minimum(starts + block_size, n)
+        # whole-group varint encodes, sliced at block byte-boundaries —
+        # per-block work is O(1) byte slicing, all math is vectorized
+        deltas = doc_ids.astype(np.uint64).copy()
+        with np.errstate(over="ignore"):
+            deltas[1:] -= doc_ids[:-1].astype(np.uint64)
+        deltas[starts] = doc_ids[starts].astype(np.uint64)  # blocks self-contained
+        enc_d = varint_encode(deltas)
+        off_d = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(varint_lengths(deltas), out=off_d[1:])
+        enc_t = varint_encode(tfs)
+        off_t = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(varint_lengths(tfs), out=off_t[1:])
+        enc_l = varint_encode(lens)
+        off_l = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(varint_lengths(lens), out=off_l[1:])
+        max_tf = np.maximum.reduceat(tfs, starts)
+        min_tf = np.minimum.reduceat(tfs, starts)
+        max_len = np.maximum.reduceat(lens, starts)
+        min_len = np.minimum.reduceat(lens, starts)
+        for bi in range(len(starts)):
+            b0, b1 = int(starts[bi]), int(ends[bi])
             out_rows.append(
-                (fld, bucket, term, int(salt), b0 // block_size, b1 - b0,
-                 int(d[0]), int(d[-1]), int(t.max()), int(t.min()),
-                 int(ln.min()), int(ln.max()), db, tb, lb, pb)
+                (fld, bucket, term, int(salt), bi, b1 - b0,
+                 int(doc_ids[b0]), int(doc_ids[b1 - 1]),
+                 int(max_tf[bi]), int(min_tf[bi]),
+                 int(min_len[bi]), int(max_len[bi]),
+                 enc_d[off_d[b0]:off_d[b1]],
+                 enc_t[off_t[b0]:off_t[b1]],
+                 enc_l[off_l[b0]:off_l[b1]],
+                 b"".join(pos_list[b0:b1]) if has_pos else b"")
             )
     cols = [c.split(" ")[0] for c in BLOCK_SCHEMA.split(", ")]
     return pd.DataFrame(out_rows, columns=cols)
@@ -122,6 +205,7 @@ class IndexBuilder:
         self.meta = meta
         self.paths = IndexPaths(root)
         self.analyzers = build_analyzers(meta.analyzers)
+        self._bucketed_cache: DataFrame | None = None
 
     # ---------- lineage ----------
 
@@ -144,6 +228,8 @@ class IndexBuilder:
 
     # ---------- stage 1: docs + dense ids ----------
 
+    last_n_docs: int | None = None
+
     def assign_doc_ids(self, source: DataFrame) -> DataFrame:
         nb = self.meta.num_buckets
         latest = (
@@ -151,7 +237,8 @@ class IndexBuilder:
                 "_rn",
                 F.row_number().over(
                     Window.partitionBy("url").orderBy(
-                        F.desc("warc_ts"), F.desc(F.xxhash64("text"))
+                        F.desc("warc_ts"),
+                        F.desc(F.xxhash64(*[F.col(c) for c in source.columns])),
                     )
                 ),
             )
@@ -160,7 +247,8 @@ class IndexBuilder:
         )
         bucketed = latest.withColumn(
             "doc_bucket", F.pmod(F.xxhash64("url"), F.lit(nb)).cast("int")
-        )
+        ).persist()  # two downstream jobs (counts + rank); don't recompute
+        self._bucketed_cache = bucketed
         counts = {
             r["doc_bucket"]: r["n"]
             for r in bucketed.groupBy("doc_bucket").agg(F.count("*").alias("n"))
@@ -170,6 +258,7 @@ class IndexBuilder:
         for b in range(nb):
             offsets[b] = acc
             acc += counts.get(b, 0)
+        self.last_n_docs = acc
         off_df = self.spark.createDataFrame(
             [(b, offsets[b]) for b in range(nb)], "doc_bucket int, _offset long"
         )
@@ -191,6 +280,10 @@ class IndexBuilder:
             .write.mode("overwrite")
             .parquet(self.paths.docs)
         )
+        # release the persist taken in assign_doc_ids
+        if self._bucketed_cache is not None:
+            self._bucketed_cache.unpersist()
+            self._bucketed_cache = None
 
     # ---------- stage 2: analyzer pass → posting rows ----------
 
@@ -205,47 +298,25 @@ class IndexBuilder:
         }
         field_names = [name for name, _, _ in fields]
 
-        def analyze(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                outs = []
-                doc_ids = pdf["doc_id"].to_numpy()
-                for fname in field_names:
-                    an = analyzer_by_field[fname]
-                    frame = an.tokenize(pdf[fname].reset_index(drop=True))
-                    if len(frame) == 0:
-                        continue
-                    doc_len = frame.groupby("idx")["token"].size()
-                    if want_pos[fname]:
-                        agg = (
-                            frame.groupby(["idx", "token"], sort=False)
-                            .agg(
-                                tf=("pos", "size"),
-                                positions=("pos", lambda s: s.to_numpy()
-                                           .astype("int32").tolist()),
-                            )
-                            .reset_index()
-                        )
-                    else:
-                        agg = (
-                            frame.groupby(["idx", "token"], sort=False)
-                            .agg(tf=("pos", "size"))
-                            .reset_index()
-                        )
-                        agg["positions"] = None
-                    agg["doc_len"] = doc_len.reindex(agg["idx"]).to_numpy()
-                    agg["doc_id"] = doc_ids[agg["idx"].to_numpy()]
-                    agg["field"] = fname
-                    outs.append(
-                        agg.rename(columns={"token": "term"})[
-                            ["doc_id", "field", "term", "tf", "positions",
-                             "doc_len"]
-                        ]
-                    )
-                if outs:
-                    yield pd.concat(outs, ignore_index=True)
+        def analyze_batch(pdf: pd.DataFrame) -> Iterator[pa.RecordBatch]:
+            doc_ids = pdf["doc_id"].to_numpy()
+            for fname in field_names:
+                an = analyzer_by_field[fname]
+                frame = an.tokenize(pdf[fname].reset_index(drop=True))
+                if len(frame) == 0:
+                    continue
+                batch = _runs_to_record_batch(
+                    frame, doc_ids, fname, want_pos[fname]
+                )
+                if batch is not None:
+                    yield batch
+
+        def analyze(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            for rb in batches:
+                yield from analyze_batch(rb.to_pandas())
 
         cols = ["doc_id"] + field_names
-        return docs.select(*cols).mapInPandas(analyze, POSTING_ROW_SCHEMA)
+        return docs.select(*cols).mapInArrow(analyze, POSTING_ROW_SCHEMA)
 
     # ---------- stage 3: staging / df / blockify ----------
 
@@ -275,6 +346,60 @@ class IndexBuilder:
             .distinct()
         )
         return [r["term"] for r in hot.collect()]
+
+    HOT_SAMPLE_MOD = 20  # 5% deterministic doc sample for hot-term detection
+
+    def _hot_terms_sampled(self, docs: DataFrame) -> list[str]:
+        """Hot-term detection from a deterministic 5% doc sample (fast path).
+
+        Salting is a performance decision, not a correctness one: a term's
+        df estimate only needs order-of-magnitude accuracy, so a hash-based
+        sample (pure function of url → deterministic, resumable) avoids a
+        full tokenize pass. Multi-wave builds use exact df over the durable
+        staging table instead.
+        """
+        mod = self.HOT_SAMPLE_MOD
+        sample = docs.filter(F.pmod(F.xxhash64("url"), F.lit(mod)) == 0)
+        thr = max(self.meta.hot_df_threshold // mod, 1)
+        hot = (
+            self.posting_rows(sample)
+            .groupBy("field", "term")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > thr)
+            .select("term")
+            .distinct()
+        )
+        return [r["term"] for r in hot.collect()]
+
+    def norms_from_blocks(self) -> DataFrame:
+        """Derive (field, doc_id, len) by decoding block doc/len columns —
+        a pass over the COMPRESSED index instead of a second tokenize."""
+        from bayard_spark.build.codec import delta_decode, varint_decode
+
+        blocks = read_postings(self.spark, self.paths).select(
+            "field", "doc_bytes", "len_bytes"
+        )
+
+        def run(batches):
+            for pdf in batches:
+                fields, dids, lens = [], [], []
+                for r in pdf.itertuples(index=False):
+                    d = delta_decode(varint_decode(r.doc_bytes))
+                    ln = varint_decode(r.len_bytes)
+                    fields.append(np.full(len(d), r.field, dtype=object))
+                    dids.append(d.astype(np.int64))
+                    lens.append(ln.astype(np.int64))
+                if dids:
+                    yield pd.DataFrame(
+                        {
+                            "field": np.concatenate(fields),
+                            "doc_id": np.concatenate(dids),
+                            "len": np.concatenate(lens),
+                        }
+                    )
+
+        decoded = blocks.mapInPandas(run, "field string, doc_id long, len long")
+        return decoded.groupBy("field", "doc_id").agg(F.max("len").alias("len"))
 
     def blockify_wave(self, staging: DataFrame, wave: int,
                       hot_terms: list[str]) -> dict:
@@ -311,7 +436,9 @@ class IndexBuilder:
 
     # ---------- stage 4: norms + stats ----------
 
-    def write_norms_stats(self, staging: DataFrame) -> None:
+    def write_norms_stats(
+        self, staging: DataFrame, n_docs: int | None = None
+    ) -> None:
         norms = (
             staging.groupBy("field", "doc_id")
             .agg(F.max("doc_len").alias("len"))
@@ -319,7 +446,21 @@ class IndexBuilder:
         norms.write.mode("overwrite").partitionBy("field").parquet(
             self.paths.norms
         )
-        n_docs = self.spark.read.parquet(self.paths.docs).count()
+        if n_docs is None:
+            n_docs = self.spark.read.parquet(self.paths.docs).count()
+        self._write_stats_from_norms(n_docs)
+
+    def write_norms_stats_from_blocks(self, n_docs: int | None = None) -> None:
+        """Fast-path variant: norms decoded from the written blocks."""
+        norms = self.norms_from_blocks()
+        norms.write.mode("overwrite").partitionBy("field").parquet(
+            self.paths.norms
+        )
+        if n_docs is None:
+            n_docs = self.spark.read.parquet(self.paths.docs).count()
+        self._write_stats_from_norms(n_docs)
+
+    def _write_stats_from_norms(self, n_docs: int) -> None:
         stats = (
             self.spark.read.parquet(self.paths.norms)
             .groupBy("field")
@@ -344,41 +485,80 @@ class IndexBuilder:
         with open(self.paths.meta, "w") as f:
             f.write(self.meta.to_json())
 
+        n_docs: int | None = None
         if resume and _success(self.paths.docs) and self._lineage_done("docs"):
             skipped.append("docs")
         else:
             t0 = time.time()
             with_ids = self.assign_doc_ids(source)
             self.write_docs(with_ids)
-            n = self.spark.read.parquet(self.paths.docs).count()
-            self._log_lineage("docs", 0, {"docs": n,
+            n_docs = self.last_n_docs
+            self._log_lineage("docs", 0, {"docs": n_docs,
                                           "build_ms": (time.time() - t0) * 1e3})
             run.append("docs")
 
         docs = self.spark.read.parquet(self.paths.docs)
+        # parquet reads coalesce small files toward maxPartitionBytes, which
+        # can leave the (CPU-heavy) analyzer pass with 1-2 tasks on a small
+        # corpus. Ensure at least one task per core; no-op at real scale
+        # where file count >> cores.
+        par = self.spark.sparkContext.defaultParallelism
+        if docs.rdd.getNumPartitions() < par:
+            docs = docs.repartition(par * 2)
 
-        if resume and _success(self._staging_path) and self._lineage_done(
-            "staging"
-        ):
-            skipped.append("staging")
+        if self.meta.num_waves <= 1:
+            # FAST PATH (single wave): no staging parquet, no persist — ONE
+            # full tokenize pass flows straight into the blockify exchange.
+            # Hot terms come from a deterministic 5% sample; norms are
+            # decoded from the written blocks (compressed, much smaller than
+            # a staging table). Resume granularity is unchanged (a single
+            # wave restarts whole either way). Multi-wave builds (the 100 TB
+            # path) keep the durable staging table, which is what makes
+            # waves independently restartable.
+            staging = None
+            if resume and self._lineage_done("blocks", 0):
+                skipped.append("blocks_w0")
+            else:
+                t0 = time.time()
+                hot_terms = self._hot_terms_sampled(docs)
+                t1 = time.time()
+                nb = self.meta.num_buckets
+                rows = (
+                    self.posting_rows(docs)
+                    .withColumn(
+                        "bucket",
+                        F.pmod(F.xxhash64("term"), F.lit(nb)).cast("int"),
+                    )
+                    .withColumn("wave", F.lit(0))
+                )
+                metrics = self.blockify_wave(rows, 0, hot_terms)
+                metrics["hot_detect_ms"] = (t1 - t0) * 1e3
+                metrics["n_hot_terms"] = len(hot_terms)
+                self._log_lineage("blocks", 0, metrics)
+                run.append("blocks_w0")
         else:
-            t0 = time.time()
-            self.stage_postings(docs)
-            self._log_lineage(
-                "staging", 0, {"build_ms": (time.time() - t0) * 1e3}
-            )
-            run.append("staging")
+            if resume and _success(self._staging_path) and self._lineage_done(
+                "staging"
+            ):
+                skipped.append("staging")
+            else:
+                t0 = time.time()
+                self.stage_postings(docs)
+                self._log_lineage(
+                    "staging", 0, {"build_ms": (time.time() - t0) * 1e3}
+                )
+                run.append("staging")
 
-        staging = self.spark.read.parquet(self._staging_path)
-        hot_terms = self._hot_terms(staging)
+            staging = self.spark.read.parquet(self._staging_path)
+            hot_terms = self._hot_terms(staging)
 
-        for wave in range(self.meta.num_waves):
-            if resume and self._lineage_done("blocks", wave):
-                skipped.append(f"blocks_w{wave}")
-                continue
-            metrics = self.blockify_wave(staging, wave, hot_terms)
-            self._log_lineage("blocks", wave, metrics)
-            run.append(f"blocks_w{wave}")
+            for wave in range(self.meta.num_waves):
+                if resume and self._lineage_done("blocks", wave):
+                    skipped.append(f"blocks_w{wave}")
+                    continue
+                metrics = self.blockify_wave(staging, wave, hot_terms)
+                self._log_lineage("blocks", wave, metrics)
+                run.append(f"blocks_w{wave}")
 
         if resume and _success(self.paths.stats) and self._lineage_done(
             "stats"
@@ -386,12 +566,16 @@ class IndexBuilder:
             skipped.append("stats")
         else:
             t0 = time.time()
-            self.write_norms_stats(staging)
+            if staging is None:
+                self.write_norms_stats_from_blocks(n_docs)
+            else:
+                self.write_norms_stats(staging, n_docs)
             self._log_lineage("stats", 0,
                               {"build_ms": (time.time() - t0) * 1e3})
             run.append("stats")
 
-        n_docs = self.spark.read.parquet(self.paths.docs).count()
+        if n_docs is None:
+            n_docs = self.spark.read.parquet(self.paths.docs).count()
         return BuildReport(
             n_docs=n_docs,
             stages_run=run,

@@ -261,7 +261,11 @@ def merge_segments(spark: SparkSession, builder) -> dict:
     post = visible_postings(spark, paths)
     ts = load_tombstones(spark, paths)
 
-    from bayard_spark.build.codec import decode_block, varint_decode
+    from bayard_spark.build.codec import (
+        decode_block,
+        split_pos_bytes,
+        varint_decode,
+    )
     from bayard_spark.build.indexer import BLOCK_SCHEMA, encode_group_frame
 
     doomed_arr = (
@@ -281,16 +285,15 @@ def merge_segments(spark: SparkSession, builder) -> dict:
             for r in g.sort_values(["first_doc_id", "block_id"]).itertuples(
                 index=False
             ):
-                d, t, p, o = decode_block(r.doc_bytes, r.tf_bytes, r.pos_bytes)
+                d, t, _, _ = decode_block(r.doc_bytes, r.tf_bytes, None)
                 ln = varint_decode(r.len_bytes)
                 d_all.append(d)
                 t_all.append(t)
                 l_all.append(ln)
-                if p is not None:
-                    p_all.extend(
-                        np.asarray(p[o[i]:o[i + 1]], dtype=np.int32).tolist()
-                        for i in range(len(d))
-                    )
+                if r.pos_bytes:
+                    # keep positions as their original per-doc byte runs —
+                    # never re-encoded after the analyzer pass
+                    p_all.extend(split_pos_bytes(r.pos_bytes, t))
                 else:
                     p_all.extend([None] * len(d))
             d = np.concatenate(d_all).astype(np.int64)
@@ -308,14 +311,14 @@ def merge_segments(spark: SparkSession, builder) -> dict:
                         "doc_id": d[sel],
                         "tf": t[sel],
                         "doc_len": ln[sel],
-                        "positions": [p_all[i] for i in sel],
+                        "pos_bytes": [p_all[i] for i in sel],
                         "field": fld,
                         "term": term,
                         "salt": salt,
                     }
                 )
             )
-        cols = ["doc_id", "tf", "doc_len", "positions", "field", "term",
+        cols = ["doc_id", "tf", "doc_len", "pos_bytes", "field", "term",
                 "salt", "bucket"]
         if not frames:
             return encode_group_frame(pd.DataFrame(columns=cols), block_size)
@@ -350,10 +353,7 @@ def merge_segments(spark: SparkSession, builder) -> dict:
     shutil.rmtree(os.path.join(paths.root, "segments"), ignore_errors=True)
     shutil.rmtree(os.path.join(paths.root, "tombstones"), ignore_errors=True)
     log.write({"segments": [], "tombstones": [], "version": log.read()["version"] + 1})
-    builder.write_norms_stats(
-        builder.posting_rows(spark.read.parquet(paths.docs))
-        .withColumn("bucket", F.lit(0)).withColumn("wave", F.lit(0))
-    )
+    builder.write_norms_stats_from_blocks()
     return {"merged": True}
 
 

@@ -90,6 +90,7 @@ class SearchEngine:
             for r in spark.read.parquet(self.paths.stats).collect()
         }
         self._bucket_cache: dict[str, int] = {}
+        self._df_cache: dict[tuple[str, str], int] = {}
         self.k1 = self.meta.bm25_k1
         self.b = self.meta.bm25_b
 
@@ -124,20 +125,26 @@ class SearchEngine:
         return self._df_of_many(fld, [term]).get(term, 0)
 
     def _df_of_many(self, fld: str, terms: list[str]) -> dict[str, int]:
-        """Batched df lookup: one metadata-only job for all leaf terms."""
+        """Batched df lookup: one metadata-only job for all uncached leaf
+        terms (df is static per index snapshot, so cache per engine)."""
         uniq = sorted(set(terms))
-        buckets = self._buckets(uniq)
-        rows = (
-            self.postings.filter(
-                (F.col("field") == fld)
-                & F.col("bucket").isin(sorted(set(buckets.values())))
-                & F.col("term").isin(uniq)
+        missing = [t for t in uniq if (fld, t) not in self._df_cache]
+        if missing:
+            buckets = self._buckets(missing)
+            rows = (
+                self.postings.filter(
+                    (F.col("field") == fld)
+                    & F.col("bucket").isin(sorted(set(buckets.values())))
+                    & F.col("term").isin(missing)
+                )
+                .groupBy("term")
+                .agg(F.sum("n_docs").alias("df"))
+                .collect()
             )
-            .groupBy("term")
-            .agg(F.sum("n_docs").alias("df"))
-            .collect()
-        )
-        return {r["term"]: int(r["df"]) for r in rows}
+            found = {r["term"]: int(r["df"]) for r in rows}
+            for t in missing:
+                self._df_cache[(fld, t)] = found.get(t, 0)
+        return {t: self._df_cache[(fld, t)] for t in uniq}
 
     def idf(self, fld: str, df: int) -> float:
         n = self.stats[fld]["n_docs"]
@@ -486,9 +493,12 @@ class SearchEngine:
                     raise ValueError(
                         f"field {sfield!r} is not a fast field"
                     )  # node.rs:1312-1331
+                keep = dict.fromkeys(
+                    ["doc_id", "url", "warc_ts", sfield]
+                    + [f for f in fields]
+                )
                 joined = scores.join(
-                    self.docs.select("doc_id", "url", "warc_ts", sfield),
-                    "doc_id",
+                    self.docs.select(*keep), "doc_id"
                 )
                 order = (
                     [F.col(sfield).asc(), F.col("doc_id").asc()]
