@@ -76,34 +76,67 @@ def _runs_to_record_batch(
     """Token frame (idx, token, pos) → posting-row RecordBatch, all numpy/
     Arrow kernels (no per-group Python):
 
-    sort stably by (idx, token) — positions stay ascending within a run —
-    then run-length boundaries give (doc, term) groups: tf from run lengths,
+    Tokens are factorized to int codes first so the (idx, token) sort is an
+    integer np.lexsort — sorting 10^6+ Python string objects is memory-
+    latency-bound and stops scaling beyond a few cores; int sorts don't.
+    Run-length boundaries then give (doc, term) groups: tf from run lengths,
     positions delta-encoded in one pass with run starts reset to absolute,
     varint-encoded as ONE array, and zero-copy sliced into a BinaryArray via
     run byte-offsets.
     """
-    frame = frame.sort_values(["idx", "token"], kind="stable", ignore_index=True)
-    idx = frame["idx"].to_numpy()
-    tok = frame["token"].to_numpy()
-    pos = frame["pos"].to_numpy(dtype=np.int64)
     n = len(frame)
     if n == 0:
         return None
+    idx0 = frame["idx"].to_numpy(dtype=np.int64)
+    pos0 = frame["pos"].to_numpy(dtype=np.int64)
+    codes0, uniques = pd.factorize(frame["token"], sort=False)
+    doc_len_per_idx = np.bincount(idx0, minlength=len(doc_ids)).astype(np.int32)
+    return _runs_from_ints(
+        idx0,
+        codes0.astype(np.int32),
+        pos0,
+        pa.array(uniques.astype(object)),
+        doc_len_per_idx,
+        doc_ids,
+        fname,
+        want_pos,
+    )
+
+
+def _runs_from_ints(
+    idx0: np.ndarray,
+    codes0: np.ndarray,
+    pos0: np.ndarray,
+    dictionary: pa.Array,
+    doc_len_per_idx: np.ndarray,
+    doc_ids: np.ndarray,
+    fname: str,
+    want_pos: bool,
+) -> pa.RecordBatch | None:
+    """Shared run-aggregation over int token streams (pandas + Arrow paths)."""
+    n = len(idx0)
+    if n == 0:
+        return None
+    order = np.lexsort((pos0, codes0, idx0))
+    idx = idx0[order]
+    codes = codes0[order]
+    pos = pos0[order]
     new_run = np.empty(n, dtype=bool)
     new_run[0] = True
-    new_run[1:] = (idx[1:] != idx[:-1]) | (tok[1:] != tok[:-1])
+    new_run[1:] = (idx[1:] != idx[:-1]) | (codes[1:] != codes[:-1])
     starts = np.flatnonzero(new_run)
     ends = np.append(starts[1:], n)
     tf = (ends - starts).astype(np.int32)
     run_idx = idx[starts]
-    # doc_len per source row = token count per idx
-    doc_len_per_idx = np.bincount(idx, minlength=len(doc_ids)).astype(np.int32)
+    term_arr = pa.DictionaryArray.from_arrays(
+        pa.array(codes[starts], type=pa.int32()), dictionary
+    ).cast(pa.string())
     arrays: list[pa.Array] = [
         pa.array(doc_ids[run_idx], type=pa.int64()),
         pa.DictionaryArray.from_arrays(
             pa.array(np.zeros(len(starts), dtype=np.int32)), pa.array([fname])
         ).cast(pa.string()),
-        pa.array(tok[starts]),
+        term_arr,
         pa.array(tf, type=pa.int32()),
         pa.array(doc_len_per_idx[run_idx], type=pa.int32()),
     ]
@@ -185,6 +218,140 @@ def encode_group_frame(pdf: pd.DataFrame, block_size: int = 128) -> pd.DataFrame
             )
     cols = [c.split(" ")[0] for c in BLOCK_SCHEMA.split(", ")]
     return pd.DataFrame(out_rows, columns=cols)
+
+
+def encode_group_table(table: pa.Table, block_size: int = 128) -> pa.Table:
+    """Arrow-native block encoder for one (bucket, salt) group.
+
+    Same output as encode_group_frame (byte-identical blocks), but terms
+    stay dictionary-encoded ints end-to-end: one lexsort over (field, term,
+    salt, doc_id) int codes, run/block boundaries vectorized, ONE varint
+    pass per payload column for the whole group, per-block byte slicing.
+    Python work is O(#blocks), not O(#postings).
+    """
+    n = table.num_rows
+    cols = [c.split(" ")[0] for c in BLOCK_SCHEMA.split(", ")]
+    if n == 0:
+        return pa.table(
+            {c: pa.array([], type=t) for c, t in zip(cols, _BLOCK_TYPES)}
+        )
+    fenc = pc.dictionary_encode(table.column("field").combine_chunks())
+    tenc = pc.dictionary_encode(table.column("term").combine_chunks())
+    fcodes = fenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    tcodes = tenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    fdict = fenc.dictionary.to_pylist()
+    tdict = tenc.dictionary
+    doc = table.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    tf = table.column("tf").to_numpy(zero_copy_only=False).astype(np.uint64)
+    dlen = table.column("doc_len").to_numpy(zero_copy_only=False).astype(np.uint64)
+    salt = table.column("salt").to_numpy(zero_copy_only=False).astype(np.int64)
+    bucket = int(table.column("bucket")[0].as_py())
+    pos_col = table.column("pos_bytes").combine_chunks()
+    has_pos = pos_col.null_count < n
+
+    order = np.lexsort((doc, salt, tcodes, fcodes))
+    fcodes, tcodes, salt = fcodes[order], tcodes[order], salt[order]
+    doc, tf, dlen = doc[order], tf[order], dlen[order]
+
+    new_run = np.empty(n, dtype=bool)
+    new_run[0] = True
+    new_run[1:] = (
+        (fcodes[1:] != fcodes[:-1])
+        | (tcodes[1:] != tcodes[:-1])
+        | (salt[1:] != salt[:-1])
+    )
+    run_start_of = np.maximum.accumulate(
+        np.where(new_run, np.arange(n), 0)
+    )
+    within = np.arange(n) - run_start_of
+    block_start = new_run | (within % block_size == 0)
+    bstarts = np.flatnonzero(block_start)
+    bends = np.append(bstarts[1:], n)
+    block_id = (within[bstarts] // block_size).astype(np.int32)
+
+    # payload encodes: one varint pass per column, deltas reset per block
+    deltas = doc.astype(np.uint64).copy()
+    with np.errstate(over="ignore"):
+        deltas[1:] -= doc[:-1].astype(np.uint64)
+    deltas[bstarts] = doc[bstarts].astype(np.uint64)
+    enc_d, len_d = varint_encode(deltas), varint_lengths(deltas)
+    enc_t, len_t = varint_encode(tf), varint_lengths(tf)
+    enc_l, len_l = varint_encode(dlen), varint_lengths(dlen)
+    off_d = np.zeros(n + 1, dtype=np.int64); np.cumsum(len_d, out=off_d[1:])
+    off_t = np.zeros(n + 1, dtype=np.int64); np.cumsum(len_t, out=off_t[1:])
+    off_l = np.zeros(n + 1, dtype=np.int64); np.cumsum(len_l, out=off_l[1:])
+
+    max_tf = np.maximum.reduceat(tf, bstarts).astype(np.int32)
+    min_tf = np.minimum.reduceat(tf, bstarts).astype(np.int32)
+    max_len = np.maximum.reduceat(dlen, bstarts).astype(np.int32)
+    min_len = np.minimum.reduceat(dlen, bstarts).astype(np.int32)
+
+    nb = len(bstarts)
+    doc_bytes = [enc_d[off_d[bstarts[i]]:off_d[bends[i]]] for i in range(nb)]
+    tf_bytes = [enc_t[off_t[bstarts[i]]:off_t[bends[i]]] for i in range(nb)]
+    len_bytes = [enc_l[off_l[bstarts[i]]:off_l[bends[i]]] for i in range(nb)]
+
+    if has_pos:
+        # gather the (sorted-order) per-row byte runs into one buffer with a
+        # vectorized index build, then slice per block
+        poffs = pos_col.buffers()[1]
+        pvals = np.frombuffer(pos_col.buffers()[2], dtype=np.uint8)
+        a0 = pos_col.offset
+        poff = (
+            np.frombuffer(poffs, dtype=np.int32)[a0 : a0 + n + 1]
+            .astype(np.int64)
+        )
+        row_start = poff[:-1][order]
+        row_len = (poff[1:] - poff[:-1])[order]
+        total = int(row_len.sum())
+        out_off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(row_len, out=out_off[1:])
+        gather = (
+            np.repeat(row_start - out_off[:-1], row_len)
+            + np.arange(total, dtype=np.int64)
+        )
+        pdata = pvals[gather].tobytes()
+        pos_bytes = [
+            pdata[out_off[bstarts[i]]:out_off[bends[i]]] for i in range(nb)
+        ]
+    else:
+        pos_bytes = [b""] * nb
+
+    term_vals = pa.DictionaryArray.from_arrays(
+        pa.array(tcodes[bstarts], type=pa.int32()), tdict
+    ).cast(pa.string())
+    field_vals = pa.array(
+        [fdict[int(c)] for c in fcodes[bstarts]], type=pa.string()
+    )
+    return pa.table(
+        {
+            "field": field_vals,
+            "bucket": pa.array(np.full(nb, bucket, dtype=np.int32)),
+            "term": term_vals,
+            "salt": pa.array(salt[bstarts].astype(np.int32)),
+            "block_id": pa.array(block_id),
+            "n_docs": pa.array((bends - bstarts).astype(np.int32)),
+            "first_doc_id": pa.array(doc[bstarts]),
+            "last_doc_id": pa.array(doc[bends - 1]),
+            "max_tf": pa.array(max_tf),
+            "min_tf": pa.array(min_tf),
+            "min_len": pa.array(min_len),
+            "max_len": pa.array(max_len),
+            "doc_bytes": pa.array(doc_bytes, type=pa.binary()),
+            "tf_bytes": pa.array(tf_bytes, type=pa.binary()),
+            "len_bytes": pa.array(len_bytes, type=pa.binary()),
+            "pos_bytes": pa.array(pos_bytes, type=pa.binary()),
+        }
+    )
+
+
+_BLOCK_TYPES = [
+    pa.string(), pa.int32(), pa.string(), pa.int32(), pa.int32(), pa.int32(),
+    pa.int64(), pa.int64(), pa.int32(), pa.int32(), pa.int32(), pa.int32(),
+    pa.binary(), pa.binary(), pa.binary(), pa.binary(),
+]
+
+import pyarrow.compute as pc  # noqa: E402  (used by encode_group_table)
 
 
 @dataclass
@@ -298,22 +465,41 @@ class IndexBuilder:
         }
         field_names = [name for name, _, _ in fields]
 
-        def analyze_batch(pdf: pd.DataFrame) -> Iterator[pa.RecordBatch]:
-            doc_ids = pdf["doc_id"].to_numpy()
+        from bayard_spark.analysis import arrow_native
+
+        arrow_ok = {
+            name: arrow_native.supports(analyzer_by_field[name])
+            for name in field_names
+        }
+
+        def analyze_batch(rb: pa.RecordBatch) -> Iterator[pa.RecordBatch]:
+            doc_ids = rb.column("doc_id").to_numpy(zero_copy_only=False)
+            pdf = None
             for fname in field_names:
                 an = analyzer_by_field[fname]
-                frame = an.tokenize(pdf[fname].reset_index(drop=True))
-                if len(frame) == 0:
-                    continue
-                batch = _runs_to_record_batch(
-                    frame, doc_ids, fname, want_pos[fname]
-                )
+                if arrow_ok[fname]:
+                    row_id, codes, pos, dictionary, doc_len = (
+                        arrow_native.tokenize_ints(rb.column(fname), an)
+                    )
+                    batch = _runs_from_ints(
+                        row_id, codes, pos, dictionary, doc_len,
+                        doc_ids, fname, want_pos[fname],
+                    )
+                else:
+                    if pdf is None:
+                        pdf = rb.to_pandas()
+                    frame = an.tokenize(pdf[fname].reset_index(drop=True))
+                    if len(frame) == 0:
+                        continue
+                    batch = _runs_to_record_batch(
+                        frame, doc_ids, fname, want_pos[fname]
+                    )
                 if batch is not None:
                     yield batch
 
         def analyze(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
             for rb in batches:
-                yield from analyze_batch(rb.to_pandas())
+                yield from analyze_batch(rb)
 
         cols = ["doc_id"] + field_names
         return docs.select(*cols).mapInArrow(analyze, POSTING_ROW_SCHEMA)
@@ -420,15 +606,21 @@ class IndexBuilder:
         else:
             part = part.withColumn("salt", F.lit(0))
 
-        def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-            return encode_group_frame(pdf, block_size)
+        def encode_group(table: pa.Table) -> pa.Table:
+            return encode_group_table(table, block_size)
 
-        blocks = part.groupBy("bucket", "salt").applyInPandas(
+        blocks = part.groupBy("bucket", "salt").applyInArrow(
             encode_group, BLOCK_SCHEMA
         )
         t0 = time.time()
         (
-            blocks.write.mode("overwrite")
+            # cluster rows of one (field, bucket) into one task → ONE output
+            # file per partition dir. Without this, every task touches every
+            # dir and the job commit renames O(tasks × dirs) small files
+            # serially on the driver — the commit, not the compute, becomes
+            # the scaling ceiling.
+            blocks.repartition(F.col("field"), F.col("bucket"))
+            .write.mode("overwrite")
             .partitionBy("field", "bucket")
             .parquet(os.path.join(self.paths.postings, f"wave={wave}"))
         )
@@ -443,9 +635,9 @@ class IndexBuilder:
             staging.groupBy("field", "doc_id")
             .agg(F.max("doc_len").alias("len"))
         )
-        norms.write.mode("overwrite").partitionBy("field").parquet(
-            self.paths.norms
-        )
+        norms.repartition("field").write.mode("overwrite").partitionBy(
+            "field"
+        ).parquet(self.paths.norms)
         if n_docs is None:
             n_docs = self.spark.read.parquet(self.paths.docs).count()
         self._write_stats_from_norms(n_docs)
@@ -453,9 +645,9 @@ class IndexBuilder:
     def write_norms_stats_from_blocks(self, n_docs: int | None = None) -> None:
         """Fast-path variant: norms decoded from the written blocks."""
         norms = self.norms_from_blocks()
-        norms.write.mode("overwrite").partitionBy("field").parquet(
-            self.paths.norms
-        )
+        norms.repartition("field").write.mode("overwrite").partitionBy(
+            "field"
+        ).parquet(self.paths.norms)
         if n_docs is None:
             n_docs = self.spark.read.parquet(self.paths.docs).count()
         self._write_stats_from_norms(n_docs)

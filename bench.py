@@ -67,10 +67,14 @@ def make_spark(cpus: int):
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"bayard-bench-{cpus}")
-        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.shuffle.partitions", str(cpus * 2))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", "8g")
+        .config("spark.driver.memory", "24g")
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+            "2",
+        )
         .getOrCreate()
     )
 
