@@ -39,6 +39,50 @@ def supports(analyzer) -> bool:
     return tok_ok and all(f in ("lower_case", "stop_word") for f in filters)
 
 
+def doc_lengths(texts: pa.Array, analyzer) -> np.ndarray:
+    """Kept-token count per row (same definition as tokenize_ints'
+    doc_len_per_row) without dictionary-encoding — for the norms pass."""
+    texts = pc.fill_null(texts, "")
+    if analyzer.tokenizer_name == "raw":
+        return (
+            pc.not_equal(texts, "").to_numpy(zero_copy_only=False)
+            .astype(np.int32)
+        )
+    stop_words: list[str] = []
+    lowercase = False
+    for fname, fargs in analyzer.filter_specs:
+        if fname == "stop_word":
+            stop_words = list(dict(fargs).get("words") or [])
+        if fname == "lower_case":
+            lowercase = True
+    if stop_words and lowercase:
+        texts = pc.utf8_lower(texts)
+    pattern = (
+        SIMPLE_PATTERN
+        if analyzer.tokenizer_name == "simple"
+        else WHITESPACE_PATTERN
+    )
+    lists = pc.split_pattern_regex(texts, pattern=pattern)
+    flat = pc.list_flatten(lists)
+    counts = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+    counts = np.nan_to_num(counts, nan=0).astype(np.int64)
+    kept = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    if stop_words:
+        kept &= ~pc.is_in(
+            flat, value_set=pa.array(stop_words)
+        ).to_numpy(zero_copy_only=False)
+    n = len(texts)
+    row_start = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=row_start[1:])
+    kf = np.cumsum(kept, dtype=np.int64)
+    out = (
+        kf[row_start[1:] - 1]
+        - np.where(row_start[:-1] > 0, kf[row_start[:-1] - 1], 0)
+    ).astype(np.int32)
+    out[counts == 0] = 0
+    return out
+
+
 def tokenize_ints(
     texts: pa.Array, analyzer
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, pa.Array, np.ndarray]:

@@ -439,11 +439,12 @@ class IndexBuilder:
         )
 
     def write_docs(self, with_ids: DataFrame) -> None:
+        # with_ids is hash-partitioned by doc_bucket, and each bucket is a
+        # CONTIGUOUS doc_id range by construction — a within-partition sort
+        # already yields range-layout files (row-group min/max pruning works)
+        # without repartitionByRange's extra sampling pass + shuffle.
         (
-            with_ids.repartitionByRange(
-                max(self.spark.sparkContext.defaultParallelism, 1), "doc_id"
-            )
-            .sortWithinPartitions("doc_id")
+            with_ids.sortWithinPartitions("doc_id")
             .write.mode("overwrite")
             .parquet(self.paths.docs)
         )
@@ -557,6 +558,47 @@ class IndexBuilder:
         )
         return [r["term"] for r in hot.collect()]
 
+    def norms_direct(self, docs: DataFrame) -> DataFrame:
+        """(field, doc_id, len) straight from the analyzer kernels — docs are
+        disjoint across batches, so there is NO shuffle and no aggregation."""
+        from bayard_spark.analysis import arrow_native
+
+        fields = [
+            (f.name, self.analyzers[f.analyzer])
+            for f in self.meta.text_fields()
+        ]
+
+        def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            for rb in batches:
+                doc_ids = rb.column("doc_id")
+                pdf = None
+                for fname, an in fields:
+                    if arrow_native.supports(an):
+                        lens = arrow_native.doc_lengths(rb.column(fname), an)
+                    else:
+                        if pdf is None:
+                            pdf = rb.to_pandas()
+                        frame = an.tokenize(pdf[fname].reset_index(drop=True))
+                        lens = np.bincount(
+                            frame["idx"].to_numpy(),
+                            minlength=rb.num_rows,
+                        ).astype(np.int32)
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(
+                                np.full(rb.num_rows, fname, dtype=object)
+                            ),
+                            doc_ids,
+                            pa.array(lens, type=pa.int32()),
+                        ],
+                        ["field", "doc_id", "len"],
+                    )
+
+        cols = ["doc_id"] + [f for f, _ in fields]
+        return docs.select(*cols).mapInArrow(
+            run, "field string, doc_id long, len int"
+        )
+
     def norms_from_blocks(self) -> DataFrame:
         """Derive (field, doc_id, len) by decoding block doc/len columns —
         a pass over the COMPRESSED index instead of a second tokenize."""
@@ -642,8 +684,20 @@ class IndexBuilder:
             n_docs = self.spark.read.parquet(self.paths.docs).count()
         self._write_stats_from_norms(n_docs)
 
+    def write_norms_stats_direct(
+        self, docs: DataFrame, n_docs: int | None = None
+    ) -> None:
+        """Fast-path variant: shuffle-free norms from the analyzer kernels."""
+        norms = self.norms_direct(docs)
+        norms.repartition("field").write.mode("overwrite").partitionBy(
+            "field"
+        ).parquet(self.paths.norms)
+        if n_docs is None:
+            n_docs = self.spark.read.parquet(self.paths.docs).count()
+        self._write_stats_from_norms(n_docs)
+
     def write_norms_stats_from_blocks(self, n_docs: int | None = None) -> None:
-        """Fast-path variant: norms decoded from the written blocks."""
+        """Merge-path variant: norms decoded from the written blocks."""
         norms = self.norms_from_blocks()
         norms.repartition("field").write.mode("overwrite").partitionBy(
             "field"
@@ -759,7 +813,7 @@ class IndexBuilder:
         else:
             t0 = time.time()
             if staging is None:
-                self.write_norms_stats_from_blocks(n_docs)
+                self.write_norms_stats_direct(docs, n_docs)
             else:
                 self.write_norms_stats(staging, n_docs)
             self._log_lineage("stats", 0,
