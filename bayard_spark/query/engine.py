@@ -59,7 +59,15 @@ class SearchResponse:
 
 
 class SearchEngine:
-    def __init__(self, spark: SparkSession, root: str):
+    # Preload the (field, term) → (df, bucket) dictionary to the driver when
+    # the vocabulary is small enough: term queries then plan with ZERO
+    # metadata jobs (one Spark job total). Beyond the cap (huge web-scale
+    # vocabularies), planning falls back to batched metadata-only lookups
+    # with per-engine caching — still one small job per novel term set.
+    MAX_DICT_TERMS = 2_000_000
+
+    def __init__(self, spark: SparkSession, root: str,
+                 preload_dictionary: bool = True):
         self.spark = spark
         self.paths = IndexPaths(root)
         with open(self.paths.meta) as f:
@@ -91,8 +99,25 @@ class SearchEngine:
         }
         self._bucket_cache: dict[str, int] = {}
         self._df_cache: dict[tuple[str, str], int] = {}
+        self._dict_complete = False
         self.k1 = self.meta.bm25_k1
         self.b = self.meta.bm25_b
+        if preload_dictionary:
+            self._preload_dictionary()
+
+    def _preload_dictionary(self) -> None:
+        rows = (
+            self.postings.groupBy("field", "term")
+            .agg(F.sum("n_docs").alias("df"), F.first("bucket").alias("b"))
+            .limit(self.MAX_DICT_TERMS + 1)
+            .collect()
+        )
+        if len(rows) > self.MAX_DICT_TERMS:
+            return  # vocabulary too large for the driver; use lazy lookups
+        for r in rows:
+            self._df_cache[(r["field"], r["term"])] = int(r["df"])
+            self._bucket_cache[r["term"]] = int(r["b"])
+        self._dict_complete = True
 
     # ---------- helpers ----------
 
@@ -128,6 +153,8 @@ class SearchEngine:
         """Batched df lookup: one metadata-only job for all uncached leaf
         terms (df is static per index snapshot, so cache per engine)."""
         uniq = sorted(set(terms))
+        if self._dict_complete:
+            return {t: self._df_cache.get((fld, t), 0) for t in uniq}
         missing = [t for t in uniq if (fld, t) not in self._df_cache]
         if missing:
             buckets = self._buckets(missing)
@@ -319,14 +346,18 @@ class SearchEngine:
         ).select("doc_id", "score")
 
     def _expand_terms(self, fld: str, matcher) -> list[str]:
-        """Term-dictionary scan over block metadata (term column only)."""
-        terms = [
-            r["term"]
-            for r in self.postings.filter(F.col("field") == fld)
-            .select("term")
-            .distinct()
-            .collect()
-        ]
+        """Term-dictionary scan (driver dict when preloaded, else a
+        metadata-only distributed scan of the term column)."""
+        if self._dict_complete:
+            terms = [t for (f, t) in self._df_cache if f == fld]
+        else:
+            terms = [
+                r["term"]
+                for r in self.postings.filter(F.col("field") == fld)
+                .select("term")
+                .distinct()
+                .collect()
+            ]
         return [t for t in terms if matcher(t)]
 
     def _multi_term_scores(self, fld: str, terms: list[str]) -> DataFrame:
