@@ -292,6 +292,37 @@ def q_events_daily(spark, sf_dir):
     )
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization over the events stream (30-min idle gap):
+    per session → (user_id, session_start, n_events, total_value).
+    Classic lag + cumulative-sum session ids, all window functions."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gap = epoch - F.lag(epoch).over(w_user)
+    new_sess = F.when(
+        gap.isNull() | (gap > 1800), F.lit(1)
+    ).otherwise(F.lit(0))
+    with_sess = ev.withColumn(
+        "_sid",
+        F.sum(new_sess).over(
+            w_user.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        with_sess.groupBy("user_id", "_sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select("user_id", "session_start", "n_events", "total_value")
+        .orderBy("user_id", "session_start")
+    )
+
+
 def q_tpch_revenue(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -540,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine": q_ann_cosine,
         "events_daily": q_events_daily,
         "tpch_revenue": q_tpch_revenue,
+        "sessionize": q_sessionize,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
@@ -732,6 +764,27 @@ JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name ORDER BY n_name
+"""
+
+    sqls["sessionize"] = """
+WITH g AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                   OR lag(ts) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM s GROUP BY user_id, sid ORDER BY user_id, session_start
 """
 
     pmd5 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"

@@ -446,6 +446,7 @@ class IndexBuilder:
         (
             with_ids.sortWithinPartitions("doc_id")
             .write.mode("overwrite")
+            .option("compression", self.meta.docstore_compression)
             .parquet(self.paths.docs)
         )
         # release the persist taken in assign_doc_ids

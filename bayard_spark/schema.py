@@ -57,6 +57,9 @@ class IndexMeta:
     # build
     seed: int = 42
     num_waves: int = 4             # resume granularity for the postings build
+    # doc-store page compression (reference: none/lz4/brotli/snappy blocks,
+    # docs/rest_api/create_index_api.md; parquet gives us zstd/snappy/gzip)
+    docstore_compression: str = "zstd"
 
     def text_fields(self) -> list[FieldDef]:
         return [f for f in self.fields if f.type == "text" and f.indexed]
