@@ -243,7 +243,14 @@ class SearchEngine:
         idf = self.idf(fld, df_count)
         avg = self.stats[fld]["avg_len"]
         blocks = self._leaf_blocks(fld, term)
-        if topk_prune is not None and topk_prune <= self.meta.block_size:
+        # block-max pruning pays one extra metadata job for τ — only worth
+        # it when there are enough blocks to prune (short posting lists
+        # decode faster than the τ job runs)
+        if (
+            topk_prune is not None
+            and topk_prune <= self.meta.block_size
+            and df_count > 8 * self.meta.block_size
+        ):
             blocks = self._prune_blocks(blocks, idf, avg)
         return (
             self._decode(blocks, want_positions=False)
