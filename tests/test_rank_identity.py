@@ -110,6 +110,71 @@ QUERIES = [
         {"kind": "query_string", "options": {
             "query": "water AND earth", "default_search_fields": ["text"]}},
     ),
+    (
+        "boost_of_boolean",
+        {"kind": "boost", "options": {"boost": 0.5, "query": {
+            "kind": "boolean", "options": {"subqueries": [
+                {"occurrence": "must", "query": {
+                    "kind": "term",
+                    "options": {"field": "text", "term": "light"}}},
+                {"occurrence": "should", "query": {
+                    "kind": "term",
+                    "options": {"field": "text", "term": "kind"}}},
+            ]}}}},
+    ),
+    (
+        "bool_of_phrase_and_fuzzy",
+        {"kind": "boolean", "options": {"subqueries": [
+            {"occurrence": "should", "query": {
+                "kind": "phrase", "options": {
+                    "field": "text",
+                    "phrase_terms": ["in", "the"], "slop": 0}}},
+            {"occurrence": "should", "query": {
+                "kind": "fuzzy_term", "options": {
+                    "field": "text", "term": "watre", "distance": 2,
+                    "transposition_cost_one": True}}},
+        ]}},
+    ),
+    (
+        "must_not_only",
+        {"kind": "boolean", "options": {"subqueries": [
+            {"occurrence": "must_not", "query": {
+                "kind": "term",
+                "options": {"field": "text", "term": "the"}}},
+        ]}},
+    ),
+    (
+        "raw_field_term",
+        {"kind": "term", "options": {"field": "lang", "term": "de"}},
+    ),
+    (
+        "regex_all_suffix",
+        {"kind": "regex", "options": {"field": "text", "regex": ".*ther"}},
+    ),
+    (
+        "phrase_three_terms",
+        {"kind": "phrase", "options": {
+            "field": "text", "phrase_terms": ["the", "of", "the"],
+            "slop": 1}},
+    ),
+    (
+        "deep_nesting",
+        {"kind": "boost", "options": {"boost": 3.0, "query": {
+            "kind": "boolean", "options": {"subqueries": [
+                {"occurrence": "must", "query": {
+                    "kind": "boolean", "options": {"subqueries": [
+                        {"occurrence": "should", "query": {
+                            "kind": "term", "options": {
+                                "field": "text", "term": "mother"}}},
+                        {"occurrence": "should", "query": {
+                            "kind": "term", "options": {
+                                "field": "text", "term": "father"}}},
+                    ]}}},
+                {"occurrence": "must_not", "query": {
+                    "kind": "range", "options": {
+                        "field": "lang", "start": "zh", "end": "zz"}}},
+            ]}}}},
+    ),
 ]
 
 
