@@ -33,10 +33,19 @@ WHITESPACE_PATTERN = r"\s+"
 
 
 def supports(analyzer) -> bool:
-    """Can this Analyzer run on the Arrow-native path?"""
+    """Can this Analyzer run on the Arrow-native path?
+
+    The kernels below always lowercase BEFORE stop-word filtering, while the
+    pandas path (and the oracle) applies filters in configured order — so a
+    [stop_word, lower_case] chain must fall back to pandas ('The' survives a
+    stop list containing 'the' there, but not here)."""
     tok_ok = analyzer.tokenizer_name in ("simple", "whitespace", "raw")
     filters = [f for f, _ in analyzer.filter_specs]
-    return tok_ok and all(f in ("lower_case", "stop_word") for f in filters)
+    if not (tok_ok and all(f in ("lower_case", "stop_word") for f in filters)):
+        return False
+    if "lower_case" in filters and "stop_word" in filters:
+        return filters.index("lower_case") < filters.index("stop_word")
+    return True
 
 
 def doc_lengths(texts: pa.Array, analyzer) -> np.ndarray:

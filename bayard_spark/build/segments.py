@@ -249,89 +249,80 @@ def load_tombstones(spark: SparkSession, paths: IndexPaths) -> DataFrame | None:
     return df
 
 
+def block_rows(spark: SparkSession, post: DataFrame) -> DataFrame:
+    """Decode posting blocks → one row per posting (doc_id, field, term,
+    salt, bucket, tf, doc_len, pos_bytes). Positions stay as their original
+    per-doc varint byte runs — never re-encoded after the analyzer pass."""
+    from bayard_spark.build.codec import (
+        decode_block,
+        split_pos_bytes,
+        varint_decode,
+    )
+
+    def to_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for r in pdf.itertuples(index=False):
+                d, t, _, _ = decode_block(r.doc_bytes, r.tf_bytes, None)
+                ln = varint_decode(r.len_bytes)
+                out = pd.DataFrame(
+                    {
+                        "doc_id": d.astype(np.int64),
+                        "tf": t.astype(np.int32),
+                        "doc_len": ln.astype(np.int32),
+                    }
+                )
+                out["pos_bytes"] = (
+                    split_pos_bytes(r.pos_bytes, t) if r.pos_bytes else None
+                )
+                out["field"] = r.field
+                out["term"] = r.term
+                out["salt"] = np.int32(r.salt)
+                out["bucket"] = np.int32(r.bucket)
+                outs.append(out)
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    cols = ["field", "bucket", "term", "salt", "doc_bytes", "tf_bytes",
+            "len_bytes", "pos_bytes"]
+    schema = (
+        "doc_id long, tf int, doc_len int, pos_bytes binary, field string, "
+        "term string, salt int, bucket int"
+    )
+    return post.select(*cols).mapInPandas(to_rows, schema)
+
+
 def merge_segments(spark: SparkSession, builder) -> dict:
     """Compact all visible postings into fresh base waves, applying
     tombstones physically; resets the commit log.
 
-    Decode → concat by doc order → re-encode happens per (bucket, salt)
-    group exactly like the build, so merged output is byte-deterministic.
+    Fully distributed: blocks decode to posting rows (mapInPandas),
+    tombstones drop via a broadcast anti-join (JVM-side — the driver never
+    materializes doomed ids; at web scale tombstones can be billions of
+    rows), then the same (bucket, salt) Arrow block encoder as the build
+    runs, so merged output is byte-deterministic with a fresh build.
     """
     paths: IndexPaths = builder.paths
     log = CommitLog(paths.root)
     post = visible_postings(spark, paths)
     ts = load_tombstones(spark, paths)
 
-    from bayard_spark.build.codec import (
-        decode_block,
-        split_pos_bytes,
-        varint_decode,
-    )
-    from bayard_spark.build.indexer import BLOCK_SCHEMA, encode_group_frame
+    from bayard_spark.build.indexer import BLOCK_SCHEMA, encode_group_table
 
-    doomed_arr = (
-        np.asarray(sorted(r["doc_id"] for r in ts.collect()), dtype=np.int64)
-        if ts is not None
-        else np.empty(0, dtype=np.int64)
-    )
+    rows = block_rows(spark, post)
+    if ts is not None:
+        # a re-put url lives under a new doc_id; its old id is doomed
+        rows = rows.join(F.broadcast(ts), "doc_id", "left_anti")
     block_size = builder.meta.block_size
-
-    def reencode(pdf: pd.DataFrame) -> pd.DataFrame:
-        frames = []
-        for (fld, term, salt), g in pdf.groupby(
-            ["field", "term", "salt"], sort=False
-        ):
-            d_all, t_all, l_all = [], [], []
-            p_all: list = []
-            for r in g.sort_values(["first_doc_id", "block_id"]).itertuples(
-                index=False
-            ):
-                d, t, _, _ = decode_block(r.doc_bytes, r.tf_bytes, None)
-                ln = varint_decode(r.len_bytes)
-                d_all.append(d)
-                t_all.append(t)
-                l_all.append(ln)
-                if r.pos_bytes:
-                    # keep positions as their original per-doc byte runs —
-                    # never re-encoded after the analyzer pass
-                    p_all.extend(split_pos_bytes(r.pos_bytes, t))
-                else:
-                    p_all.extend([None] * len(d))
-            d = np.concatenate(d_all).astype(np.int64)
-            t = np.concatenate(t_all).astype(np.int64)
-            ln = np.concatenate(l_all).astype(np.int64)
-            order = np.argsort(d, kind="stable")
-            # a re-put url lives under a new doc_id; its old id is doomed
-            if doomed_arr.size:
-                sel = order[~np.isin(d[order], doomed_arr)]
-            else:
-                sel = order
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "doc_id": d[sel],
-                        "tf": t[sel],
-                        "doc_len": ln[sel],
-                        "pos_bytes": [p_all[i] for i in sel],
-                        "field": fld,
-                        "term": term,
-                        "salt": salt,
-                    }
-                )
-            )
-        cols = ["doc_id", "tf", "doc_len", "pos_bytes", "field", "term",
-                "salt", "bucket"]
-        if not frames:
-            return encode_group_frame(pd.DataFrame(columns=cols), block_size)
-        out = pd.concat(frames, ignore_index=True)
-        out = out[out["doc_id"].notna()]
-        out["bucket"] = int(pdf["bucket"].iloc[0])
-        return encode_group_frame(out, block_size)
 
     merged_dir = os.path.join(paths.root, "postings_merged")
     shutil.rmtree(merged_dir, ignore_errors=True)
     (
-        post.groupBy("bucket")
-        .applyInPandas(reencode, BLOCK_SCHEMA)
+        rows.groupBy("bucket", "salt")
+        .applyInArrow(
+            lambda table: encode_group_table(table, block_size), BLOCK_SCHEMA
+        )
+        .repartition(F.col("field"), F.col("bucket"))
         .write.mode("overwrite")
         .partitionBy("field", "bucket")
         .parquet(os.path.join(merged_dir, "wave=0"))

@@ -219,13 +219,17 @@ class SearchEngine:
             )
         return decoded
 
-    def _score_expr(self, idf: float, avg_len: float):
+    def _score_expr(self, idf, avg_len: float):
+        """BM25 score expression; `idf` may be a float literal (driver-
+        computed math.log for exact oracle parity) or a Column (per-term idf
+        joined in for multi-term fuzzy/regex plans)."""
         k1, b = self.k1, self.b
         tf, ln = F.col("tf"), F.col("len")
         denom = tf + F.lit(k1) * (
             F.lit(1.0) - F.lit(b) + F.lit(b) * ln / F.lit(avg_len)
         )
-        return F.lit(idf) * (tf * F.lit(k1 + 1.0)) / denom
+        idf_col = F.lit(idf) if isinstance(idf, float) else idf
+        return idf_col * (tf * F.lit(k1 + 1.0)) / denom
 
     # ---------- leaf scorers → DataFrame(doc_id, score) ----------
 
@@ -245,11 +249,15 @@ class SearchEngine:
         blocks = self._leaf_blocks(fld, term)
         # block-max pruning pays one extra metadata job for τ — only worth
         # it when there are enough blocks to prune (short posting lists
-        # decode faster than the τ job runs)
+        # decode faster than the τ job runs). Pruning is DISABLED whenever
+        # tombstones exist: τ comes from build-time block metadata, and a
+        # "full" block may hold deleted docs, so its lb is not guaranteed by
+        # k live docs (the bound would silently drop true top-k results).
         if (
             topk_prune is not None
             and topk_prune <= self.meta.block_size
             and df_count > 8 * self.meta.block_size
+            and self.tombstones is None
         ):
             blocks = self._prune_blocks(blocks, idf, avg)
         return (
@@ -294,6 +302,15 @@ class SearchEngine:
     ) -> DataFrame:
         if len(phrase_terms) < 2:
             raise ValueError("phrase requires >= 2 terms")
+        # the reference rejects phrase queries on position-less fields with a
+        # clear error (tantivy: "field does not have positions indexed");
+        # without this, decode yields positions=None and the matcher dies
+        # with an opaque executor TypeError.
+        if self.meta.field_def(fld).record != "position":
+            raise ValueError(
+                f"field {fld!r} does not record positions "
+                "(phrase queries require record='position')"
+            )
         df_map = self._df_of_many(fld, phrase_terms)
         dfs = [df_map.get(t, 0) for t in phrase_terms]
         if any(d == 0 for d in dfs):
@@ -320,27 +337,54 @@ class SearchEngine:
         slop_val = slop
 
         def count_matches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            """Vectorized phrase adjacency over the whole Arrow batch.
+
+            Semantics (= oracle._phrase_matches): tf = number of start
+            positions p0 in term0's list from which a chain p0 < p1 <= p0+
+            slop+1 < ... exists through every term list. Counting starts is a
+            BACKWARD reachability sweep: S holds the positions of term i+1
+            that can complete the tail; a position p of term i survives iff
+            S has an element in (p, p+slop+1]. Per-doc segmentation is free:
+            positions are embedded at doc_row*2^33 + pos (positions are
+            int32, slop small), so one globally sorted axis serves every doc
+            and np.searchsorted handles all docs of the batch at once.
+            Python work is O(#terms) per batch, not O(rows × positions).
+            """
+            import pyarrow as _pa
+
+            shift = np.int64(1) << np.int64(33)
+            step = np.int64(slop_val + 1)
             for pdf in batches:
-                counts = np.zeros(len(pdf), dtype=np.float64)
-                cols = [pdf[c] for c in pos_cols]
-                for r in range(len(pdf)):
-                    lists = [list(c.iloc[r]) for c in cols[1:]]
-                    n = 0
-                    for p0 in list(cols[0].iloc[r]):
-                        opts = [p0]
-                        ok = True
-                        for nxt in lists:
-                            new = [
-                                q for q in nxt
-                                if any(0 < q - p <= slop_val + 1 for p in opts)
-                            ]
-                            if not new:
-                                ok = False
-                                break
-                            opts = new
-                        if ok:
-                            n += 1
-                    counts[r] = n
+                n = len(pdf)
+                if n == 0:
+                    yield pd.DataFrame(
+                        {"doc_id": pdf["doc_id"], "tf": [], "len": pdf["len"]}
+                    )
+                    continue
+                flat: list[np.ndarray] = []
+                docix: list[np.ndarray] = []
+                for c in pos_cols:
+                    la = _pa.array(pdf[c], type=_pa.list_(_pa.int64()))
+                    offs = la.offsets.to_numpy(zero_copy_only=False).astype(
+                        np.int64
+                    )
+                    vals = la.flatten().to_numpy(zero_copy_only=False).astype(
+                        np.int64
+                    )
+                    di = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+                    flat.append(di * shift + vals)
+                    docix.append(di)
+                S = flat[-1]
+                counts = np.zeros(n, dtype=np.float64)
+                for i in range(len(pos_cols) - 2, -1, -1):
+                    p = flat[i]
+                    lo = np.searchsorted(S, p, side="right")
+                    hi = np.searchsorted(S, p + step, side="right")
+                    keep = hi > lo
+                    if i == 0:
+                        np.add.at(counts, docix[0][keep], 1.0)
+                    else:
+                        S = p[keep]
                 yield pd.DataFrame(
                     {"doc_id": pdf["doc_id"], "tf": counts, "len": pdf["len"]}
                 )
@@ -352,35 +396,132 @@ class SearchEngine:
             "score", self._score_expr(sum_idf, avg)
         ).select("doc_id", "score")
 
-    def _expand_terms(self, fld: str, matcher) -> list[str]:
-        """Term-dictionary scan (driver dict when preloaded, else a
-        metadata-only distributed scan of the term column)."""
-        if self._dict_complete:
-            terms = [t for (f, t) in self._df_cache if f == fld]
-        else:
-            terms = [
-                r["term"]
-                for r in self.postings.filter(F.col("field") == fld)
-                .select("term")
-                .distinct()
-                .collect()
-            ]
-        return [t for t in terms if matcher(t)]
+    def _term_dictionary(self, fld: str) -> DataFrame:
+        """Distinct (term, df) for a field — a metadata-only scan (parquet
+        reads just the term/n_docs columns; the binary payloads are pruned)."""
+        return (
+            self.postings.filter(F.col("field") == fld)
+            .groupBy("term")
+            .agg(F.sum("n_docs").alias("df"))
+        )
 
-    def _multi_term_scores(self, fld: str, terms: list[str]) -> DataFrame:
-        """Sum of per-term BM25 over an expanded term set (fuzzy/regex)."""
+    def _expand_fuzzy(
+        self,
+        fld: str,
+        term: str,
+        distance: int,
+        transposition: bool,
+        prefix: bool,
+    ) -> dict[str, int]:
+        """Fuzzy term-dictionary expansion as a Spark job → {term: df}.
+
+        Plain Levenshtein runs fully JVM-side (F.levenshtein with the
+        early-exit threshold argument). Damerau / prefix variants run in a
+        vectorized pandas UDF over the dictionary AFTER a JVM length
+        prefilter (any term shorter than len(q)-d can't match; non-prefix
+        also bounds above). The driver never sees the dictionary — only the
+        matched neighborhood (bounded by the edit-distance ball).
+        """
+        if self._dict_complete:
+            from bayard_spark.oracle.engine import (
+                levenshtein,
+                prefix_edit_distance,
+            )
+
+            out = {}
+            for (f, t), df in self._df_cache.items():
+                if f != fld or df <= 0:
+                    continue
+                d = (
+                    prefix_edit_distance(term, t, transposition)
+                    if prefix
+                    else levenshtein(term, t, transposition)
+                )
+                if d <= distance:
+                    out[t] = df
+            return out
+        dic = self._term_dictionary(fld)
+        qlen = len(term)
+        dic = dic.filter(F.length("term") >= F.lit(qlen - distance))
+        if not prefix:
+            dic = dic.filter(F.length("term") <= F.lit(qlen + distance))
+        if not transposition and not prefix:
+            matched = dic.filter(
+                F.levenshtein(F.lit(term), F.col("term"), distance) >= 0
+            )
+        else:
+            from pyspark.sql.functions import pandas_udf
+
+            @pandas_udf("boolean")
+            def matches(terms: pd.Series) -> pd.Series:
+                from bayard_spark.oracle.engine import (
+                    levenshtein,
+                    prefix_edit_distance,
+                )
+
+                fn = (
+                    (lambda t: prefix_edit_distance(term, t, transposition))
+                    if prefix
+                    else (lambda t: levenshtein(term, t, transposition))
+                )
+                return terms.map(lambda t: fn(t) <= distance)
+
+            matched = dic.filter(matches(F.col("term")))
+        return {r["term"]: int(r["df"]) for r in matched.collect()}
+
+    def _expand_regex(self, fld: str, pattern: str) -> dict[str, int]:
+        """Regex term-dictionary expansion as a Spark job → {term: df}.
+        Python-regex FULLMATCH semantics (= oracle, regex.rs:12-25) via
+        pandas' vectorized str.fullmatch — NOT Java rlike, whose dialect
+        differs (e.g. possessive quantifiers, \\p classes)."""
+        if self._dict_complete:
+            import re as _re
+
+            rx = _re.compile(pattern)
+            return {
+                t: df
+                for (f, t), df in self._df_cache.items()
+                if f == fld and df > 0 and rx.fullmatch(t)
+            }
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("boolean")
+        def matches(terms: pd.Series) -> pd.Series:
+            return terms.str.fullmatch(pattern).fillna(False)
+
+        matched = self._term_dictionary(fld).filter(matches(F.col("term")))
+        return {r["term"]: int(r["df"]) for r in matched.collect()}
+
+    def _multi_term_scores(self, fld: str, term_dfs: dict[str, int]) -> DataFrame:
+        """Sum of per-term BM25 over an expanded term set (fuzzy/regex).
+
+        ONE decode pass over all matched terms' blocks; per-term idf values
+        are driver-computed (math.log — exact float parity with the oracle)
+        and broadcast-joined onto the decoded stream.
+        """
+        terms = sorted(t for t, d in term_dfs.items() if d > 0)
         if not terms:
             return self._empty_scores()
-        df_map = self._df_of_many(fld, terms)
-        frames = [
-            self._term_scores(fld, t, df_count=df_map.get(t, 0))
-            for t in sorted(terms)
-            if df_map.get(t, 0) > 0
-        ]
-        if not frames:
-            return self._empty_scores()
-        unioned = reduce(lambda a, b: a.unionByName(b), frames)
-        return unioned.groupBy("doc_id").agg(F.sum("score").alias("score"))
+        for t in terms:  # keep the planning caches warm for later queries
+            self._df_cache[(fld, t)] = term_dfs[t]
+        avg = self.stats[fld]["avg_len"]
+        buckets = self._buckets(terms)
+        blocks = self.postings.filter(
+            (F.col("field") == fld)
+            & F.col("bucket").isin(sorted(set(buckets.values())))
+            & F.col("term").isin(terms)
+        )
+        idf_map = self.spark.createDataFrame(
+            [(t, self.idf(fld, term_dfs[t])) for t in terms],
+            "term string, _idf double",
+        )
+        return (
+            self._decode(blocks, want_positions=False)
+            .join(F.broadcast(idf_map), "term")
+            .withColumn("score", self._score_expr(F.col("_idf"), avg))
+            .groupBy("doc_id")
+            .agg(F.sum("score").alias("score"))
+        )
 
     def _empty_scores(self) -> DataFrame:
         return self.spark.createDataFrame([], "doc_id long, score double")
@@ -421,34 +562,21 @@ class SearchEngine:
                 "score", F.col("score") * F.lit(float(opts["boost"]))
             )
         if kind == "fuzzy_term":
-            from bayard_spark.oracle.engine import (
-                levenshtein,
-                prefix_edit_distance,
-            )
-
-            term = opts["term"]
-            dist = opts.get("distance", 1)
-            trans = opts.get("transposition_cost_one", False)
-            pref = opts.get("prefix", False)
-
-            def matcher(t: str) -> bool:
-                d = (
-                    prefix_edit_distance(term, t, trans)
-                    if pref
-                    else levenshtein(term, t, trans)
-                )
-                return d <= dist
-
+            fld = opts["field"]
             return self._multi_term_scores(
-                opts["field"], self._expand_terms(opts["field"], matcher)
+                fld,
+                self._expand_fuzzy(
+                    fld,
+                    opts["term"],
+                    opts.get("distance", 1),
+                    opts.get("transposition_cost_one", False),
+                    opts.get("prefix", False),
+                ),
             )
         if kind == "regex":
-            import re as _re
-
-            rx = _re.compile(opts["regex"])
+            fld = opts["field"]
             return self._multi_term_scores(
-                opts["field"],
-                self._expand_terms(opts["field"], lambda t: bool(rx.fullmatch(t))),
+                fld, self._expand_regex(fld, opts["regex"])
             )
         if kind == "boolean":
             return self._boolean_scores(opts.get("subqueries", []))
@@ -462,22 +590,47 @@ class SearchEngine:
             return self.scores(ast, topk_hint=topk_hint)
         raise ValueError(f"unknown query kind {kind!r}")
 
+    def _df_estimate(self, query: dict) -> int:
+        """Cardinality estimate for must-join ordering (term df from block
+        metadata; phrase bounded by its rarest constituent). Unknown kinds
+        estimate 'large' so they join last."""
+        kind = query["kind"]
+        opts = query.get("options", {})
+        try:
+            if kind == "term":
+                return self._df_of(opts["field"], opts["term"])
+            if kind == "phrase":
+                dfm = self._df_of_many(opts["field"], opts["phrase_terms"])
+                return min(dfm.values()) if dfm else 0
+            if kind == "boost":
+                return self._df_estimate(opts["query"])
+        except Exception:
+            pass
+        return 1 << 62
+
     def _boolean_scores(self, subqueries: list[dict]) -> DataFrame:
         musts, shoulds, must_nots = [], [], []
         for i, sq in enumerate(subqueries):
             target = {"must": musts, "should": shoulds,
                       "must_not": must_nots}[sq["occurrence"]]
-            target.append((i, self.scores(sq["query"])))
+            target.append((i, sq["query"]))
         if musts:
+            # rarest-df-first intersection ordering (classic IR; SURVEY §4):
+            # the smallest posting list anchors the join chain so later joins
+            # see pre-shrunk inputs. The score SUM stays in CLAUSE order
+            # (column _m<i> per original ordinal) for float parity with the
+            # oracle — join order and sum order are independent.
+            join_order = sorted(
+                range(len(musts)),
+                key=lambda j: self._df_estimate(musts[j][1]),
+            )
             base = None
-            # preserve clause order for the score SUM (float parity with the
-            # oracle), joining in given order; Catalyst/AQE reorders the
-            # physical join tree anyway.
-            for i, (ordinal, m) in enumerate(musts):
-                m = m.withColumnRenamed("score", f"_m{i}")
+            for j in join_order:
+                _, q = musts[j]
+                m = self.scores(q).withColumnRenamed("score", f"_m{j}")
                 base = m if base is None else base.join(m, "doc_id")
             score = reduce(
-                lambda a, b: a + b, [F.col(f"_m{i}") for i in range(len(musts))]
+                lambda a, b: a + b, [F.col(f"_m{j}") for j in range(len(musts))]
             )
             cand = base.select("doc_id", score.alias("score"))
         elif shoulds:
@@ -485,7 +638,7 @@ class SearchEngine:
         else:
             cand = self._all_scores().withColumn("score", F.lit(0.0))
         if shoulds:
-            sframes = [s for _, s in shoulds]
+            sframes = [self.scores(q) for _, q in shoulds]
             unioned = reduce(lambda a, b: a.unionByName(b), sframes)
             ssum = unioned.groupBy("doc_id").agg(F.sum("score").alias("_s"))
             if cand is None:
@@ -499,8 +652,8 @@ class SearchEngine:
                     )
                     .drop("_s")
                 )
-        for _, mn in must_nots:
-            cand = cand.join(mn.select("doc_id"), "doc_id", "left_anti")
+        for _, q in must_nots:
+            cand = cand.join(self.scores(q).select("doc_id"), "doc_id", "left_anti")
         return cand
 
     # ---------- search API (docs/rest_api/search_api.md shape) ----------
@@ -516,9 +669,30 @@ class SearchEngine:
         want_count = collection_kind in ("count", "count_and_top_docs")
         want_docs = collection_kind in ("top_docs", "count_and_top_docs")
 
+        # total_hits is defined over ALL matches (search_api.md), so the
+        # count path must see an UNPRUNED plan — block-max pruning is only
+        # legal on the top-docs branch. When both collectors run, the scores
+        # are persisted so the request does ONE posting decode (the
+        # reference's MultiCollector is likewise one pass, node/search.rs:
+        # 29-67).
+        prune_hint = (hits + offset) if (want_docs and not sort) else None
         scores = self.scores(
-            query, topk_hint=(hits + offset) if (want_docs and not sort) else None
+            query, topk_hint=None if want_count else prune_hint
         )
+        persisted = want_count and want_docs
+        if persisted:
+            scores = scores.persist()
+        try:
+            return self._collect_response(
+                scores, want_count, want_docs, sort, fields, hits, offset
+            )
+        finally:
+            if persisted:
+                scores.unpersist()
+
+    def _collect_response(
+        self, scores, want_count, want_docs, sort, fields, hits, offset
+    ) -> SearchResponse:
         total = -1
         if want_count:
             total = scores.count()
@@ -560,12 +734,18 @@ class SearchEngine:
             )
             for r in rows:
                 d = r.asDict()
+                ts = d.get("warc_ts")
+                # response shape per docs/rest_api/search_api.md: score is 0
+                # under a field sort, sort_value is 0 under a score sort, and
+                # the timestamp is an integer unix epoch.
                 documents.append(
                     {
                         "id": d.get("url"),
-                        "score": float(d.get("score", 0.0)),
-                        "timestamp": str(d.get("warc_ts")),
-                        "sort_value": d.get(sort_col) if sort_col else None,
+                        "score": 0.0 if sort_col else float(d.get("score", 0.0)),
+                        "timestamp": (
+                            int(ts.timestamp()) if ts is not None else 0
+                        ),
+                        "sort_value": d.get(sort_col) if sort_col else 0,
                         "fields": {f: d.get(f) for f in fields},
                     }
                 )
