@@ -27,7 +27,6 @@ import unicodedata
 
 import pandas as pd
 
-from bayard_spark.analysis.stemmer import porter2_stem
 
 DEFAULT_REMOVE_LONG_LIMIT = 80  # token_filter/remove_long.rs default
 
@@ -107,18 +106,20 @@ def filter_stemming(frame: pd.DataFrame, language: str = "english") -> pd.DataFr
     language = (language or "english").lower()
     if language not in SNOWBALL_LANGUAGES:
         raise ValueError(f"unsupported stemming language: {language}")
-    if language != "english":
+    from bayard_spark.analysis.snowball import STEMMERS
+
+    stem = STEMMERS.get(language)
+    if stem is None:
         raise NotImplementedError(
-            "only the English (Porter2) Snowball stemmer ships in this build; "
-            f"'{language}' is declared in the reference (docs/analyzers.md:229) "
-            "but gated — plug a Snowball implementation into "
-            "bayard_spark.analysis.stemmer to enable it"
+            f"the '{language}' Snowball stemmer is declared in the reference "
+            "(docs/analyzers.md:229) but not yet ported — see "
+            "bayard_spark.analysis.snowball for the implemented set"
         )
     out = frame.copy()
     # Vectorize by stemming the (much smaller) unique vocabulary once and
     # broadcasting with a dict map — O(|vocab|) Python, O(n) C-level map.
     vocab = pd.unique(out["token"])
-    mapping = {w: porter2_stem(w) for w in vocab}
+    mapping = {w: stem(w) for w in vocab}
     out["token"] = out["token"].map(mapping)
     return out
 

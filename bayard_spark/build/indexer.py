@@ -372,7 +372,6 @@ class IndexBuilder:
         self.meta = meta
         self.paths = IndexPaths(root)
         self.analyzers = build_analyzers(meta.analyzers)
-        self._bucketed_cache: DataFrame | None = None
 
     # ---------- lineage ----------
 
@@ -398,27 +397,26 @@ class IndexBuilder:
     last_n_docs: int | None = None
 
     def assign_doc_ids(self, source: DataFrame) -> DataFrame:
+        """Dedupe-by-url (last write wins) + dense doc_id assignment in ONE
+        full-data shuffle.
+
+        Phase 1 is a projected scan (url column only): exact distinct-url
+        counts per bucket → contiguous bucket offsets (num_buckets rows to
+        the driver — metadata, not data). Phase 2 shuffles the full rows
+        once, by doc_bucket; a single window sort (url, warc_ts desc,
+        tiebreak) yields BOTH the upsert winner flag (url boundary via lag)
+        and the dense per-bucket url index (running sum of boundary flags).
+        The previous layout used two full-data shuffles (window by url,
+        then window by bucket) plus a persist; at 100 TB the saved exchange
+        is the dominant cost of this stage.
+        """
         nb = self.meta.num_buckets
-        latest = (
-            source.withColumn(
-                "_rn",
-                F.row_number().over(
-                    Window.partitionBy("url").orderBy(
-                        F.desc("warc_ts"),
-                        F.desc(F.xxhash64(*[F.col(c) for c in source.columns])),
-                    )
-                ),
-            )
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-        bucketed = latest.withColumn(
-            "doc_bucket", F.pmod(F.xxhash64("url"), F.lit(nb)).cast("int")
-        ).persist()  # two downstream jobs (counts + rank); don't recompute
-        self._bucketed_cache = bucketed
+        bucket_col = F.pmod(F.xxhash64("url"), F.lit(nb)).cast("int")
         counts = {
             r["doc_bucket"]: r["n"]
-            for r in bucketed.groupBy("doc_bucket").agg(F.count("*").alias("n"))
+            for r in source.select(bucket_col.alias("doc_bucket"), "url")
+            .groupBy("doc_bucket")
+            .agg(F.countDistinct("url").alias("n"))
             .collect()
         }
         offsets, acc = {}, 0
@@ -429,13 +427,26 @@ class IndexBuilder:
         off_df = self.spark.createDataFrame(
             [(b, offsets[b]) for b in range(nb)], "doc_bucket int, _offset long"
         )
-        w = Window.partitionBy("doc_bucket").orderBy("url")
+        src = source.withColumn(
+            "_tb", F.xxhash64(*[F.col(c) for c in source.columns])
+        ).withColumn("doc_bucket", bucket_col)
+        w = Window.partitionBy("doc_bucket").orderBy(
+            "url", F.desc("warc_ts"), F.desc("_tb")
+        )
+        is_first = (
+            F.lag("url").over(w).isNull()
+            | (F.lag("url").over(w) != F.col("url"))
+        ).cast("int")
+        cum = Window.partitionBy("doc_bucket").orderBy(
+            "url", F.desc("warc_ts"), F.desc("_tb")
+        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
         return (
-            bucketed.join(F.broadcast(off_df), "doc_bucket")
-            .withColumn(
-                "doc_id", F.col("_offset") + F.row_number().over(w) - 1
-            )
-            .drop("_offset", "doc_bucket")
+            src.withColumn("_new", is_first)
+            .withColumn("_urlrank", F.sum("_new").over(cum))
+            .filter(F.col("_new") == 1)
+            .join(F.broadcast(off_df), "doc_bucket")
+            .withColumn("doc_id", F.col("_offset") + F.col("_urlrank") - 1)
+            .drop("_offset", "doc_bucket", "_new", "_urlrank", "_tb")
         )
 
     def write_docs(self, with_ids: DataFrame) -> None:
@@ -443,16 +454,53 @@ class IndexBuilder:
         # CONTIGUOUS doc_id range by construction — a within-partition sort
         # already yields range-layout files (row-group min/max pruning works)
         # without repartitionByRange's extra sampling pass + shuffle.
+        #
+        # Per-field token lengths (_dl_<field>) are computed IN this pass
+        # (the text already streams through it), so norms/stats later read
+        # tiny int columns instead of re-tokenizing the corpus — one fewer
+        # full text pass per build.
         (
-            with_ids.sortWithinPartitions("doc_id")
+            self._with_doc_lengths(with_ids.sortWithinPartitions("doc_id"))
             .write.mode("overwrite")
             .option("compression", self.meta.docstore_compression)
             .parquet(self.paths.docs)
         )
-        # release the persist taken in assign_doc_ids
-        if self._bucketed_cache is not None:
-            self._bucketed_cache.unpersist()
-            self._bucketed_cache = None
+
+    def _with_doc_lengths(self, docs: DataFrame) -> DataFrame:
+        """Append one `_dl_<field>` int column per text field (kept-token
+        count under that field's analyzer) via a single Arrow pass."""
+        from bayard_spark.analysis import arrow_native
+
+        fields = [
+            (f.name, self.analyzers[f.analyzer])
+            for f in self.meta.text_fields()
+        ]
+        schema = ", ".join(
+            [f"{f.name} {f.dataType.simpleString()}" for f in docs.schema]
+            + [f"_dl_{name} int" for name, _ in fields]
+        )
+
+        def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            for rb in batches:
+                arrays = list(rb.columns)
+                names = list(rb.schema.names)
+                pdf = None
+                for fname, an in fields:
+                    col = rb.column(fname)
+                    if arrow_native.supports(an):
+                        lens = arrow_native.doc_lengths(col, an)
+                    else:
+                        if pdf is None:
+                            pdf = rb.to_pandas()
+                        frame = an.tokenize(pdf[fname].reset_index(drop=True))
+                        lens = np.bincount(
+                            frame["idx"].to_numpy(), minlength=rb.num_rows
+                        ).astype(np.int32)
+                    arrays.append(pa.array(lens, type=pa.int32()))
+                    names.append(f"_dl_{fname}")
+                yield pa.RecordBatch.from_arrays(arrays, names)
+
+        return docs.mapInArrow(run, schema)
 
     # ---------- stage 2: analyzer pass → posting rows ----------
 
@@ -560,45 +608,19 @@ class IndexBuilder:
         return [r["term"] for r in hot.collect()]
 
     def norms_direct(self, docs: DataFrame) -> DataFrame:
-        """(field, doc_id, len) straight from the analyzer kernels — docs are
-        disjoint across batches, so there is NO shuffle and no aggregation."""
-        from bayard_spark.analysis import arrow_native
-
-        fields = [
-            (f.name, self.analyzers[f.analyzer])
-            for f in self.meta.text_fields()
-        ]
-
-        def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-            for rb in batches:
-                doc_ids = rb.column("doc_id")
-                pdf = None
-                for fname, an in fields:
-                    if arrow_native.supports(an):
-                        lens = arrow_native.doc_lengths(rb.column(fname), an)
-                    else:
-                        if pdf is None:
-                            pdf = rb.to_pandas()
-                        frame = an.tokenize(pdf[fname].reset_index(drop=True))
-                        lens = np.bincount(
-                            frame["idx"].to_numpy(),
-                            minlength=rb.num_rows,
-                        ).astype(np.int32)
-                    yield pa.RecordBatch.from_arrays(
-                        [
-                            pa.array(
-                                np.full(rb.num_rows, fname, dtype=object)
-                            ),
-                            doc_ids,
-                            pa.array(lens, type=pa.int32()),
-                        ],
-                        ["field", "doc_id", "len"],
-                    )
-
-        cols = ["doc_id"] + [f for f, _ in fields]
-        return docs.select(*cols).mapInArrow(
-            run, "field string, doc_id long, len int"
-        )
+        """(field, doc_id, len) from the `_dl_<field>` columns materialized
+        by write_docs — a JVM-only unpivot of tiny int columns (the text is
+        NOT re-tokenized)."""
+        out: DataFrame | None = None
+        for f in self.meta.text_fields():
+            part = docs.select(
+                F.lit(f.name).alias("field"),
+                "doc_id",
+                F.col(f"_dl_{f.name}").cast("int").alias("len"),
+            )
+            out = part if out is None else out.unionByName(part)
+        assert out is not None, "index has no text fields"
+        return out
 
     def norms_from_blocks(self) -> DataFrame:
         """Derive (field, doc_id, len) by decoding block doc/len columns —

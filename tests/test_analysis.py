@@ -137,9 +137,10 @@ class TestFilters:
         assert toks(filter_stemming(f)) == ["run", "fli", "consist"]
 
     def test_stemming_other_language_gated(self):
-        f = tokenize_simple(pd.Series(["hallo"]))
-        with pytest.raises(NotImplementedError):
-            filter_stemming(f, "german")
+        # german now ships (see test_snowball.py); unknown langs still error
+        f = tokenize_simple(pd.Series(["laufen"]))
+        out = filter_stemming(f, "german")
+        assert out["token"].tolist() == ["lauf"]
         with pytest.raises(ValueError):
             filter_stemming(f, "klingon")
 
