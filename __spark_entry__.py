@@ -121,6 +121,75 @@ def q_range_filter(spark, sf_dir):
     )
 
 
+def q_json_path_term(spark, sf_dir):
+    """json_object leaf expansion (docs/schema.md:125-157): a json column is
+    synthesized from (lang, n_chars), flattened JVM-side via
+    from_json(map<string,string>) + explode — the same path the index build
+    uses — then BM25-scored for the leaf term 'lang=en'."""
+    docs = _docs(spark, sf_dir)
+    leaves = (
+        docs.select(
+            "doc_id", F.to_json(F.struct("lang", "n_chars")).alias("attrs")
+        )
+        .select(
+            "doc_id",
+            F.explode(F.from_json("attrs", "map<string,string>")).alias(
+                "path", "value"
+            ),
+        )
+    )
+    jtok = (
+        leaves.select(
+            "doc_id", "path",
+            F.explode(F.split(F.lower("value"), R.TOKEN_SPLIT)).alias("t"),
+        )
+        .filter(F.col("t") != "")
+        .select("doc_id", F.concat_ws("=", "path", "t").alias("term"))
+    )
+    nrm = jtok.groupBy("doc_id").agg(F.count("*").alias("len"))
+    stats = R.corpus_stats(docs, nrm)
+    return _top(R.term_scores(jtok, nrm, stats, "lang=en"))
+
+
+def q_range_u64(spark, sf_dir):
+    """u64 range at the 2^63 boundary (docs/schema.md:22): LongType cannot
+    hold u64 > 2^63-1, so u64 fast fields live as DECIMAL(20,0); the filter
+    stays a plain pushed-down comparison."""
+    docs = _docs(spark, sf_dir)
+    base = F.lit("9223372036854775800").cast("decimal(20,0)")
+    u = docs.select(
+        "doc_id",
+        (base + F.pmod(F.col("doc_id"), F.lit(16)).cast("decimal(20,0)"))
+        .alias("u64_val"),
+    )
+    lo = F.lit("9223372036854775806").cast("decimal(20,0)")
+    hi = F.lit("9223372036854775812").cast("decimal(20,0)")
+    return (
+        u.filter((F.col("u64_val") >= lo) & (F.col("u64_val") < hi))
+        .select("doc_id", F.col("u64_val").cast("string").alias("u64_val"))
+        .orderBy("doc_id")
+    )
+
+
+def q_bytes_term(spark, sf_dir):
+    """bytes field round-trip (docs/schema.md:106-122): a binary column
+    (md5 digest of lang) is indexed as ONE raw base64 term; the query term
+    is the base64 of md5('en') — matching the API's base64 value carriage."""
+    import base64 as _b64
+    import hashlib as _hl
+
+    docs = _docs(spark, sf_dir)
+    b = docs.select(
+        "doc_id", F.base64(F.unhex(F.md5(F.col("lang")))).alias("term")
+    )
+    qterm = _b64.b64encode(_hl.md5(b"en").digest()).decode()
+    return (
+        b.filter(F.col("term") == qterm)
+        .select("doc_id", "term")
+        .orderBy("doc_id")
+    )
+
+
 def q_all_sort(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return (
@@ -558,6 +627,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_terms": q_regex_terms,
         "fuzzy_terms": q_fuzzy_terms,
         "range_filter": q_range_filter,
+        "json_path_term": q_json_path_term,
+        "range_u64": q_range_u64,
+        "bytes_term": q_bytes_term,
         "all_sort": q_all_sort,
         "count_collector": q_count_collector,
         "term_stats": q_term_stats,
@@ -666,6 +738,53 @@ WHERE n_chars >= 200 AND n_chars < 300 ORDER BY doc_id
     sqls["all_sort"] = """
 SELECT doc_id, n_chars FROM documents
 ORDER BY n_chars DESC, doc_id ASC LIMIT 10
+"""
+
+    sqls["json_path_term"] = f"""
+WITH leaves AS (
+  SELECT doc_id, 'lang' AS path, lang AS value FROM documents
+  UNION ALL
+  SELECT doc_id, 'n_chars' AS path, CAST(n_chars AS VARCHAR) FROM documents
+),
+tok AS (
+  SELECT doc_id, path || '=' || u.t AS term
+  FROM leaves,
+  LATERAL (SELECT unnest(regexp_split_to_array(lower(value),
+           '[^\\p{{L}}\\p{{N}}]+')) AS t) u
+  WHERE u.t <> ''
+),
+nrm AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (SELECT sum(len) FROM nrm) * 1.0
+                 / (SELECT count(*) FROM documents) AS avg_len),
+tf AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'lang=en'
+       GROUP BY doc_id),
+dfx AS (SELECT count(*) AS df FROM tf)
+SELECT tf.doc_id AS doc_id, round({_SCORE}, 6) AS score
+FROM tf, dfx, stats JOIN nrm ON nrm.doc_id = tf.doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+    sqls["range_u64"] = """
+WITH u AS (
+  SELECT doc_id,
+         CAST(9223372036854775800 AS DECIMAL(20,0))
+           + CAST(doc_id % 16 AS DECIMAL(20,0)) AS u64_val
+  FROM documents
+)
+SELECT doc_id, CAST(u64_val AS VARCHAR) AS u64_val FROM u
+WHERE u64_val >= CAST(9223372036854775806 AS DECIMAL(20,0))
+  AND u64_val < CAST('9223372036854775812' AS DECIMAL(20,0))
+ORDER BY doc_id
+"""
+
+    import base64 as _b64
+    import hashlib as _hl
+
+    _bterm = _b64.b64encode(_hl.md5(b"en").digest()).decode()
+    sqls["bytes_term"] = f"""
+WITH b AS (SELECT doc_id, to_base64(unhex(md5(lang))) AS term FROM documents)
+SELECT doc_id, term FROM b WHERE term = '{_bterm}' ORDER BY doc_id
 """
 
     sqls["count_collector"] = f"""

@@ -27,24 +27,27 @@ LAYOUT_FIELDS = {"num_buckets", "block_size", "bm25_k1", "bm25_b"}
 def create_index(root: str, meta: IndexMeta) -> IndexPaths:
     """Write meta.json; idempotent if the existing meta is identical,
     error if a different index already lives there."""
+    from bayard_spark.fsio import IndexFS
+
     paths = IndexPaths(root)
-    os.makedirs(root, exist_ok=True)
-    if os.path.exists(paths.meta):
+    io = IndexFS(root)
+    io.makedirs(root)
+    if io.exists(paths.meta):
         existing = get_index(root)
         if existing.to_json() != meta.to_json():
             raise ValueError(
                 f"index already exists at {root} with different metadata"
             )
         return paths
-    with open(paths.meta, "w") as f:
-        f.write(meta.to_json())
+    io.write_text(paths.meta, meta.to_json())
     return paths
 
 
 def get_index(root: str) -> IndexMeta:
     """Return the index metadata (GET /indices/:name analogue)."""
-    with open(IndexPaths(root).meta) as f:
-        return IndexMeta.from_json(f.read())
+    from bayard_spark.fsio import IndexFS
+
+    return IndexMeta.from_json(IndexFS(root).read_text(IndexPaths(root).meta))
 
 
 def modify_index(root: str, **changes) -> IndexMeta:
@@ -62,30 +65,34 @@ def modify_index(root: str, **changes) -> IndexMeta:
         if k not in MUTABLE_FIELDS:
             raise ValueError(f"unknown or immutable field {k!r}")
         setattr(meta, k, v)
-    with open(IndexPaths(root).meta, "w") as f:
-        f.write(meta.to_json())
+    from bayard_spark.fsio import IndexFS
+
+    IndexFS(root).publish(IndexPaths(root).meta, meta.to_json())
     return meta
 
 
 def delete_index(root: str) -> None:
     """Remove the whole index (DELETE /indices/:name analogue)."""
+    from bayard_spark.fsio import IndexFS
+
     paths = IndexPaths(root)
-    if not os.path.exists(paths.meta):
+    io = IndexFS(root)
+    if not io.exists(paths.meta):
         warnings.warn(f"no index at {root}")
         return
-    shutil.rmtree(root, ignore_errors=True)
+    io.delete_dir(root)
 
 
 def index_stats(root: str) -> dict:
     """Small operational summary (lineage + commit log)."""
+    from bayard_spark.fsio import IndexFS
+
     paths = IndexPaths(root)
+    io = IndexFS(root)
     out = {"root": root, "lineage": [], "commits": None}
-    if os.path.isdir(paths.lineage):
-        for f in sorted(os.listdir(paths.lineage)):
-            with open(os.path.join(paths.lineage, f)) as fh:
-                out["lineage"].append(json.load(fh))
-    commit_log = os.path.join(root, "commits.json")
-    if os.path.exists(commit_log):
-        with open(commit_log) as fh:
-            out["commits"] = json.load(fh)
+    for f in io.listdir(paths.lineage):
+        out["lineage"].append(json.loads(io.read_text(io.path("lineage", f))))
+    commit_log = io.path("commits.json")
+    if io.exists(commit_log):
+        out["commits"] = json.loads(io.read_text(commit_log))
     return out

@@ -24,6 +24,10 @@ from bayard_spark.analysis.snowball.spanish import (
     _STEP2B,
     spanish,
 )
+from bayard_spark.analysis.snowball.hungarian import (
+    _CASE as _HU_CASE,
+    hungarian,
+)
 from bayard_spark.analysis.snowball.italian import (
     _S1_DELETE_R2 as _IT_S1,
     _STEP2 as _IT_STEP2,
@@ -117,6 +121,16 @@ finnish.probe_suffixes = (
        "impia immalla ksensa ttömättä ttömät").split()
 )
 
+hungarian.probe_suffixes = (
+    _HU_CASE
+    + ("al el án ánként én astul estül ástul éstül stul stül á é oké öké "
+       "aké eké ké éi áké áéi éké ééi éé ünk unk nk juk jük uk ük em om "
+       "am m od ed ad öd d ja je a e o ánk ájuk ám ád énk éjük ém éd "
+       "jaim jeim aim eim im jaid jai ai ei i jaink ink itek jeik ik áim "
+       "ái áink áik éim éi éink éik ák ék ök ok ek ak k ball ssal ttel "
+       "ünkben jükkel").split()
+)
+
 STEMMERS = {
     "english": porter2_stem,
     "danish": danish,
@@ -131,4 +145,5 @@ STEMMERS = {
     "italian": italian,
     "romanian": romanian,
     "finnish": finnish,
+    "hungarian": hungarian,
 }

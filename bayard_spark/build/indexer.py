@@ -363,14 +363,19 @@ class BuildReport:
 
 
 def _success(path: str) -> bool:
-    return os.path.exists(os.path.join(path, "_SUCCESS"))
+    from bayard_spark.fsio import IndexFS
+
+    return IndexFS(path).exists(os.path.join(path, "_SUCCESS"))
 
 
 class IndexBuilder:
     def __init__(self, spark: SparkSession, meta: IndexMeta, root: str):
+        from bayard_spark.fsio import IndexFS
+
         self.spark = spark
         self.meta = meta
         self.paths = IndexPaths(root)
+        self.io = IndexFS(root)
         self.analyzers = build_analyzers(meta.analyzers)
 
     # ---------- lineage ----------
@@ -382,14 +387,13 @@ class IndexBuilder:
             "ts": time.time(),
             **{k: float(v) for k, v in metrics.items()},
         }
-        os.makedirs(self.paths.lineage, exist_ok=True)
-        fname = os.path.join(self.paths.lineage, f"{stage}_w{wave}.json")
-        with open(fname, "w") as f:
-            json.dump(row, f)
+        self.io.write_text(
+            self.io.path("lineage", f"{stage}_w{wave}.json"), json.dumps(row)
+        )
 
     def _lineage_done(self, stage: str, wave: int = 0) -> bool:
-        return os.path.exists(
-            os.path.join(self.paths.lineage, f"{stage}_w{wave}.json")
+        return self.io.exists(
+            self.io.path("lineage", f"{stage}_w{wave}.json")
         )
 
     # ---------- stage 1: docs + dense ids ----------
@@ -440,11 +444,25 @@ class IndexBuilder:
         cum = Window.partitionBy("doc_bucket").orderBy(
             "url", F.desc("warc_ts"), F.desc("_tb")
         ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        return (
+        deduped = (
             src.withColumn("_new", is_first)
             .withColumn("_urlrank", F.sum("_new").over(cum))
             .filter(F.col("_new") == 1)
-            .join(F.broadcast(off_df), "doc_bucket")
+        )
+        if self.meta.sort_by_field:
+            # index-time presort: rank winners by the sort field within the
+            # SAME doc_bucket partitioning — Catalyst reuses the exchange
+            # (one shuffle total), only an extra in-partition sort runs.
+            # Per-bucket order mirrors tantivy's per-segment presort.
+            sf = self.meta.sort_by_field
+            w_sorted = Window.partitionBy("doc_bucket").orderBy(
+                F.col(sf).asc_nulls_last(), "url"
+            )
+            deduped = deduped.withColumn(
+                "_urlrank", F.row_number().over(w_sorted)
+            )
+        return (
+            deduped.join(F.broadcast(off_df), "doc_bucket")
             .withColumn("doc_id", F.col("_offset") + F.col("_urlrank") - 1)
             .drop("_offset", "doc_bucket", "_new", "_urlrank", "_tb")
         )
@@ -552,7 +570,139 @@ class IndexBuilder:
                 yield from analyze_batch(rb)
 
         cols = ["doc_id"] + field_names
-        return docs.select(*cols).mapInArrow(analyze, POSTING_ROW_SCHEMA)
+        out = docs.select(*cols).mapInArrow(analyze, POSTING_ROW_SCHEMA)
+        extra = self._bytes_posting_rows(docs)
+        if extra is not None:
+            out = out.unionByName(extra)
+        extra = self._json_posting_rows(docs)
+        if extra is not None:
+            out = out.unionByName(extra)
+        return out
+
+    def _bytes_posting_rows(self, docs: DataFrame) -> DataFrame | None:
+        """bytes fields (docs/schema.md:27,106-122): one raw term per value,
+        encoded base64 (the reference API carries bytes values as base64).
+        Pure JVM expressions — no Python."""
+        bfields = [
+            f for f in self.meta.fields if f.type == "bytes" and f.indexed
+        ]
+        out: DataFrame | None = None
+        for f in bfields:
+            part = (
+                docs.filter(F.col(f.name).isNotNull())
+                .select(
+                    "doc_id",
+                    F.lit(f.name).alias("field"),
+                    F.base64(F.col(f.name)).alias("term"),
+                    F.lit(1).alias("tf"),
+                    F.lit(1).alias("doc_len"),
+                    F.lit(None).cast("binary").alias("pos_bytes"),
+                )
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    JSON_MAX_DEPTH = 4
+
+    def _json_leaves(self, docs: DataFrame, colname: str) -> DataFrame:
+        """Dynamic leaf-path expansion of a json_object column
+        (docs/schema.md:125-157) → (doc_id, path, value), JVM-side.
+
+        from_json(map<string,string>) stringifies scalar leaf values and
+        leaves nested objects as JSON text, so depth unrolls as a fixed
+        chain of explodes (documented depth cap; tantivy's json expansion
+        is unbounded, web metadata in practice is ≤ 3 deep)."""
+        cur = docs.select(
+            "doc_id", F.lit("").alias("path"), F.col(colname).alias("js")
+        ).filter(F.col("js").isNotNull())
+        out: DataFrame | None = None
+        for _ in range(self.JSON_MAX_DEPTH):
+            kv = cur.select(
+                "doc_id",
+                "path",
+                F.explode(F.from_json("js", "map<string,string>")).alias(
+                    "k", "v"
+                ),
+            ).select(
+                "doc_id",
+                F.when(F.col("path") == "", F.col("k"))
+                .otherwise(F.concat_ws(".", "path", "k"))
+                .alias("path"),
+                "v",
+            )
+            is_obj = F.col("v").rlike(r"^\s*\{")
+            leaf = kv.filter(~is_obj & F.col("v").isNotNull()).select(
+                "doc_id", "path", F.col("v").alias("value")
+            )
+            out = leaf if out is None else out.unionByName(leaf)
+            cur = kv.filter(is_obj).select(
+                "doc_id", "path", F.col("v").alias("js")
+            )
+        return out
+
+    def _json_posting_rows(self, docs: DataFrame) -> DataFrame | None:
+        """json_object fields → posting rows with terms '<path>=<token>'.
+
+        Leaf values are analyzed with the field's analyzer (leaf expansion
+        JVM-side, tokenize in the shared Arrow kernel); same-term hits from
+        different leaves aggregate by sum(tf); doc_len = total tokens across
+        all leaves of the doc (BM25 length). Positions are NOT recorded —
+        phrase queries across json leaves are ill-defined, so json fields
+        require record ∈ {basic, freq} (the engine rejects phrase on them).
+        """
+        jfields = [
+            f for f in self.meta.fields
+            if f.type == "json_object" and f.indexed
+        ]
+        if not jfields:
+            return None
+        out: DataFrame | None = None
+        for f in jfields:
+            if f.record == "position":
+                raise ValueError(
+                    f"json_object field {f.name!r} cannot record positions"
+                )
+            an = self.analyzers[f.analyzer]
+            leaves = self._json_leaves(docs, f.name)
+
+            def tok_leaves(batches, an=an):
+                for pdf in batches:
+                    frame = an.tokenize(
+                        pdf["value"].fillna("").reset_index(drop=True)
+                    )
+                    if len(frame) == 0:
+                        continue
+                    row_id = frame["idx"].to_numpy()
+                    toks = frame["token"].reset_index(drop=True)
+                    paths = (
+                        pdf["path"].iloc[row_id].reset_index(drop=True)
+                    )
+                    yield pd.DataFrame(
+                        {
+                            "doc_id": pdf["doc_id"].iloc[row_id].to_numpy(),
+                            "term": paths.str.cat(toks, sep="="),
+                        }
+                    )
+
+            toks = leaves.mapInPandas(
+                tok_leaves, "doc_id long, term string"
+            )
+            agg = toks.groupBy("doc_id", "term").agg(
+                F.count("*").cast("int").alias("tf")
+            )
+            lens = agg.groupBy("doc_id").agg(
+                F.sum("tf").cast("int").alias("doc_len")
+            )
+            part = agg.join(lens, "doc_id").select(
+                "doc_id",
+                F.lit(f.name).alias("field"),
+                "term",
+                "tf",
+                "doc_len",
+                F.lit(None).cast("binary").alias("pos_bytes"),
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
 
     # ---------- stage 3: staging / df / blockify ----------
 
@@ -610,7 +760,9 @@ class IndexBuilder:
     def norms_direct(self, docs: DataFrame) -> DataFrame:
         """(field, doc_id, len) from the `_dl_<field>` columns materialized
         by write_docs — a JVM-only unpivot of tiny int columns (the text is
-        NOT re-tokenized)."""
+        NOT re-tokenized). bytes fields contribute len 0/1 (JVM expr);
+        json_object fields derive lengths from the written posting blocks
+        (their token counts only exist post-expansion)."""
         out: DataFrame | None = None
         for f in self.meta.text_fields():
             part = docs.select(
@@ -619,10 +771,30 @@ class IndexBuilder:
                 F.col(f"_dl_{f.name}").cast("int").alias("len"),
             )
             out = part if out is None else out.unionByName(part)
-        assert out is not None, "index has no text fields"
+        for f in self.meta.fields:
+            if f.type == "bytes" and f.indexed:
+                part = docs.select(
+                    F.lit(f.name).alias("field"),
+                    "doc_id",
+                    F.when(F.col(f.name).isNotNull(), 1)
+                    .otherwise(0)
+                    .cast("int")
+                    .alias("len"),
+                )
+                out = part if out is None else out.unionByName(part)
+        jnames = [
+            f.name for f in self.meta.fields
+            if f.type == "json_object" and f.indexed
+        ]
+        if jnames:
+            jn = self.norms_from_blocks(fields=jnames).select(
+                "field", "doc_id", F.col("len").cast("int").alias("len")
+            )
+            out = jn if out is None else out.unionByName(jn)
+        assert out is not None, "index has no indexed fields"
         return out
 
-    def norms_from_blocks(self) -> DataFrame:
+    def norms_from_blocks(self, fields: list[str] | None = None) -> DataFrame:
         """Derive (field, doc_id, len) by decoding block doc/len columns —
         a pass over the COMPRESSED index instead of a second tokenize."""
         from bayard_spark.build.codec import delta_decode, varint_decode
@@ -630,6 +802,8 @@ class IndexBuilder:
         blocks = read_postings(self.spark, self.paths).select(
             "field", "doc_bytes", "len_bytes"
         )
+        if fields is not None:
+            blocks = blocks.filter(F.col("field").isin(fields))
 
         def run(batches):
             for pdf in batches:
@@ -750,9 +924,8 @@ class IndexBuilder:
         t_start = time.time()
         run: list[str] = []
         skipped: list[str] = []
-        os.makedirs(self.paths.root, exist_ok=True)
-        with open(self.paths.meta, "w") as f:
-            f.write(self.meta.to_json())
+        self.io.makedirs(self.paths.root)
+        self.io.write_text(self.paths.meta, self.meta.to_json())
 
         n_docs: int | None = None
         if resume and _success(self.paths.docs) and self._lineage_done("docs"):

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
+import posixpath
 import time
 from collections.abc import Iterator
 
@@ -41,21 +41,23 @@ COMMIT_LOG = "commits.json"
 
 
 class CommitLog:
+    """Snapshot pointer, routed through IndexFS so it works on object
+    stores (local paths, s3://, hdfs:// resolve from the same root URI)."""
+
     def __init__(self, root: str):
+        from bayard_spark.fsio import IndexFS
+
         self.root = root
-        self.path = os.path.join(root, COMMIT_LOG)
+        self.io = IndexFS(root)
+        self.path = self.io.path(COMMIT_LOG)
 
     def read(self) -> dict:
-        if not os.path.exists(self.path):
+        if not self.io.exists(self.path):
             return {"segments": [], "tombstones": [], "version": 0}
-        with open(self.path) as f:
-            return json.load(f)
+        return json.loads(self.io.read_text(self.path))
 
     def write(self, state: dict) -> None:
-        tmp = self.path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(state, f, indent=1)
-        os.replace(tmp, self.path)  # atomic publish
+        self.io.publish(self.path, json.dumps(state, indent=1))
 
     def committed_segments(self) -> list[str]:
         return list(self.read()["segments"])
@@ -74,6 +76,7 @@ class SegmentWriter:
         self.b = builder
         self.paths: IndexPaths = builder.paths
         self.log = CommitLog(self.paths.root)
+        self.io = self.log.io
         self._staged_segments: list[str] = []
         self._staged_tombstones: list[str] = []
 
@@ -88,12 +91,11 @@ class SegmentWriter:
         # max over base + all segment docs including tombstoned ones — ids
         # are never reused
         dfs = [self.spark.read.parquet(self.paths.docs)]
-        seg_root = os.path.join(self.paths.root, "segments")
-        if os.path.exists(seg_root):
-            for seg in os.listdir(seg_root):
-                seg_docs = os.path.join(seg_root, seg, "docs")
-                if os.path.exists(seg_docs):
-                    dfs.append(self.spark.read.parquet(seg_docs))
+        seg_root = self.io.path("segments")
+        for seg in self.io.listdir(seg_root):
+            seg_docs = posixpath.join(seg_root, seg, "docs")
+            if self.io.exists(seg_docs):
+                dfs.append(self.spark.read.parquet(seg_docs))
         m = -1
         for d in dfs:
             row = d.agg(F.max("doc_id").alias("m")).collect()[0]
@@ -123,10 +125,7 @@ class SegmentWriter:
         # tombstone replaced urls
         existing = self._existing_docs().select("doc_id", "url")
         replaced = existing.join(latest.select("url"), "url").select("doc_id")
-        ts_file = os.path.join(
-            self.paths.root, "tombstones", f"{seg}.parquet"
-        )
-        os.makedirs(os.path.dirname(ts_file), exist_ok=True)
+        ts_file = self.io.path("tombstones", f"{seg}.parquet")
         replaced.write.mode("overwrite").parquet(ts_file)
         # assign fresh contiguous ids after the current max
         base = self._next_doc_id()
@@ -156,8 +155,7 @@ class SegmentWriter:
         seg = self._segment_name() + "_del"
         existing = self._existing_docs().select("doc_id", "url")
         doomed = existing.filter(F.col("url").isin(urls)).select("doc_id")
-        ts_file = os.path.join(self.paths.root, "tombstones", f"{seg}.parquet")
-        os.makedirs(os.path.dirname(ts_file), exist_ok=True)
+        ts_file = self.io.path("tombstones", f"{seg}.parquet")
         doomed.write.mode("overwrite").parquet(ts_file)
         self._staged_tombstones.append(ts_file)
         return seg
@@ -192,16 +190,12 @@ class SegmentWriter:
     def rollback(self) -> None:
         """Discard staged work (files removed; log untouched)."""
         for seg in self._staged_segments:
-            shutil.rmtree(
-                os.path.join(self.paths.postings, f"wave={seg}"),
-                ignore_errors=True,
+            self.io.delete_dir(
+                posixpath.join(self.paths.postings, f"wave={seg}")
             )
-            shutil.rmtree(
-                os.path.join(self.paths.root, "segments", seg),
-                ignore_errors=True,
-            )
+            self.io.delete_dir(self.io.path("segments", seg))
         for ts in self._staged_tombstones:
-            shutil.rmtree(ts, ignore_errors=True)
+            self.io.delete_dir(ts)
         self._staged_segments = []
         self._staged_tombstones = []
 
@@ -226,8 +220,8 @@ def visible_docs(spark: SparkSession, paths: IndexPaths) -> DataFrame:
     log = CommitLog(paths.root)
     dfs = [spark.read.parquet(paths.docs)]
     for seg in log.committed_segments():
-        seg_docs = os.path.join(paths.root, "segments", seg, "docs")
-        if os.path.exists(seg_docs):
+        seg_docs = log.io.path("segments", seg, "docs")
+        if log.io.exists(seg_docs):
             dfs.append(spark.read.parquet(seg_docs))
     out = dfs[0]
     for d in dfs[1:]:
@@ -242,7 +236,7 @@ def visible_docs(spark: SparkSession, paths: IndexPaths) -> DataFrame:
 
 def load_tombstones(spark: SparkSession, paths: IndexPaths) -> DataFrame | None:
     log = CommitLog(paths.root)
-    files = [f for f in log.tombstone_files() if os.path.exists(f)]
+    files = [f for f in log.tombstone_files() if log.io.exists(f)]
     if not files:
         return None
     df = spark.read.parquet(*files).select("doc_id").distinct()
@@ -315,8 +309,9 @@ def merge_segments(spark: SparkSession, builder) -> dict:
         rows = rows.join(F.broadcast(ts), "doc_id", "left_anti")
     block_size = builder.meta.block_size
 
-    merged_dir = os.path.join(paths.root, "postings_merged")
-    shutil.rmtree(merged_dir, ignore_errors=True)
+    io = log.io
+    merged_dir = io.path("postings_merged")
+    io.delete_dir(merged_dir)
     (
         rows.groupBy("bucket", "salt")
         .applyInArrow(
@@ -328,21 +323,21 @@ def merge_segments(spark: SparkSession, builder) -> dict:
         .parquet(os.path.join(merged_dir, "wave=0"))
     )
     # swap postings dir; rewrite docs without tombstones; reset log
-    new_docs_dir = os.path.join(paths.root, "docs_merged")
-    shutil.rmtree(new_docs_dir, ignore_errors=True)
+    new_docs_dir = io.path("docs_merged")
+    io.delete_dir(new_docs_dir)
     visible_docs(spark, paths).write.mode("overwrite").parquet(new_docs_dir)
     old_post = paths.postings + ".old"
-    shutil.rmtree(old_post, ignore_errors=True)
-    os.replace(paths.postings, old_post)
-    os.replace(merged_dir, paths.postings)
+    io.delete_dir(old_post)
+    io.rename(paths.postings, old_post)
+    io.rename(merged_dir, paths.postings)
     old_docs = paths.docs + ".old"
-    shutil.rmtree(old_docs, ignore_errors=True)
-    os.replace(paths.docs, old_docs)
-    os.replace(new_docs_dir, paths.docs)
-    shutil.rmtree(old_post, ignore_errors=True)
-    shutil.rmtree(old_docs, ignore_errors=True)
-    shutil.rmtree(os.path.join(paths.root, "segments"), ignore_errors=True)
-    shutil.rmtree(os.path.join(paths.root, "tombstones"), ignore_errors=True)
+    io.delete_dir(old_docs)
+    io.rename(paths.docs, old_docs)
+    io.rename(new_docs_dir, paths.docs)
+    io.delete_dir(old_post)
+    io.delete_dir(old_docs)
+    io.delete_dir(io.path("segments"))
+    io.delete_dir(io.path("tombstones"))
     log.write({"segments": [], "tombstones": [], "version": log.read()["version"] + 1})
     builder.write_norms_stats_from_blocks()
     return {"merged": True}

@@ -87,6 +87,43 @@ class OracleIndex:
     def add(self, doc_id: int, fields: dict) -> None:
         self.docs[doc_id] = fields
         for fname, value in fields.items():
+            if isinstance(value, (bytes, bytearray)):
+                # bytes field: one raw base64 term (docs/schema.md:106-122)
+                import base64
+
+                tok = base64.b64encode(bytes(value)).decode()
+                self.postings[fname][tok].setdefault(doc_id, []).append(0)
+                self.doc_len[fname][doc_id] = 1
+                continue
+            if isinstance(value, dict):
+                # json_object: dynamic leaf expansion, terms '<path>=<token>'
+                # (docs/schema.md:125-157); scalar leaves stringified the
+                # JSON way (true/1.5/abc), tf aggregated across leaves
+                import json as _json
+
+                aname = self.field_analyzers.get(fname, "default")
+                an = self.analyzers[aname]
+                n_tokens = 0
+                pos = 0
+
+                def walk(obj, prefix=""):
+                    nonlocal n_tokens, pos
+                    for k, v in obj.items():
+                        path = f"{prefix}.{k}" if prefix else k
+                        if isinstance(v, dict):
+                            walk(v, path)
+                            continue
+                        sval = v if isinstance(v, str) else _json.dumps(v)
+                        for tok in an.analyze_one(sval):
+                            self.postings[fname][f"{path}={tok}"].setdefault(
+                                doc_id, []
+                            ).append(pos)
+                            pos += 1
+                            n_tokens += 1
+
+                walk(value)
+                self.doc_len[fname][doc_id] = n_tokens
+                continue
             if not isinstance(value, str):
                 continue
             aname = self.field_analyzers.get(fname, "default")

@@ -68,10 +68,11 @@ class SearchEngine:
 
     def __init__(self, spark: SparkSession, root: str,
                  preload_dictionary: bool = True):
+        from bayard_spark.fsio import IndexFS
+
         self.spark = spark
         self.paths = IndexPaths(root)
-        with open(self.paths.meta) as f:
-            self.meta = IndexMeta.from_json(f.read())
+        self.meta = IndexMeta.from_json(IndexFS(root).read_text(self.paths.meta))
         from bayard_spark.analysis.analyzer import build_analyzers
 
         self.analyzers = build_analyzers(self.meta.analyzers)
@@ -504,6 +505,8 @@ class SearchEngine:
             return self._empty_scores()
         for t in terms:  # keep the planning caches warm for later queries
             self._df_cache[(fld, t)] = term_dfs[t]
+        if len(terms) == 1:
+            return self._term_scores(fld, terms[0], df_count=term_dfs[terms[0]])
         avg = self.stats[fld]["avg_len"]
         buckets = self._buckets(terms)
         blocks = self.postings.filter(
@@ -511,17 +514,27 @@ class SearchEngine:
             & F.col("bucket").isin(sorted(set(buckets.values())))
             & F.col("term").isin(terms)
         )
-        idf_map = self.spark.createDataFrame(
-            [(t, self.idf(fld, term_dfs[t])) for t in terms],
-            "term string, _idf double",
-        )
-        return (
-            self._decode(blocks, want_positions=False)
-            .join(F.broadcast(idf_map), "term")
-            .withColumn("score", self._score_expr(F.col("_idf"), avg))
-            .groupBy("doc_id")
-            .agg(F.sum("score").alias("score"))
-        )
+        decoded = self._decode(blocks, want_positions=False)
+        if len(terms) <= 64:
+            # small neighborhoods: per-term idf as a codegen CASE chain —
+            # no extra DataFrame, no broadcast exchange
+            idf_col = F.lit(None).cast("double")
+            for t in terms:
+                idf_col = F.when(
+                    F.col("term") == t, F.lit(self.idf(fld, term_dfs[t]))
+                ).otherwise(idf_col)
+            scored = decoded.withColumn(
+                "score", self._score_expr(idf_col, avg)
+            )
+        else:
+            idf_map = self.spark.createDataFrame(
+                [(t, self.idf(fld, term_dfs[t])) for t in terms],
+                "term string, _idf double",
+            )
+            scored = decoded.join(F.broadcast(idf_map), "term").withColumn(
+                "score", self._score_expr(F.col("_idf"), avg)
+            )
+        return scored.groupBy("doc_id").agg(F.sum("score").alias("score"))
 
     def _empty_scores(self) -> DataFrame:
         return self.spark.createDataFrame([], "doc_id long, score double")
@@ -535,6 +548,13 @@ class SearchEngine:
         fdef = self.meta.field_def(fld)
         if fdef.type == "date":
             raise ValueError("Unsupported field type")  # range.rs:101-107
+        if fdef.type == "u64":
+            # u64 covers 0..2^64-1 (docs/schema.md:22); LongType tops out at
+            # 2^63-1, so u64 fast fields live as Decimal(20,0) and range
+            # bounds are compared as decimals — exact at the type boundary.
+            from decimal import Decimal
+
+            start, end = Decimal(int(start)), Decimal(int(end))
         return self.docs.filter(
             (F.col(fld) >= F.lit(start)) & (F.col(fld) < F.lit(end))
         ).select("doc_id", F.lit(1.0).alias("score"))

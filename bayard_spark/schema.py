@@ -57,6 +57,12 @@ class IndexMeta:
     # build
     seed: int = 42
     num_waves: int = 4             # resume granularity for the postings build
+    # index-time presort (docs/rest_api/create_index_api.md "Sort by field"):
+    # doc ids are assigned by this field's order WITHIN each url-hash bucket
+    # (the per-segment presort tantivy does), so the doc store is physically
+    # ordered by the field — row-group min/max pruning + early-exit top-n on
+    # field-sorted queries. None = sort by url (pure id locality).
+    sort_by_field: str | None = None
     # doc-store page compression (reference: none/lz4/brotli/snappy blocks,
     # docs/rest_api/create_index_api.md; parquet gives us zstd/snappy/gzip)
     docstore_compression: str = "zstd"

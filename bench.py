@@ -61,19 +61,44 @@ QUERY_SET = [
 ]
 
 
+def _tuned(builder):
+    """Shared perf configs (measured in tools/scale_experiment.py):
+    - pinned input splits so task granularity is a property of the DATA,
+      not of defaultParallelism (identical work units across cluster sizes);
+    - 16 MB AQE advisory partitions: the post-shuffle stages carry heavy
+      Python/Arrow compute per row, so the coalescer must target CPU
+      granularity, not shuffle-transfer granularity (64 MB default starves
+      executors — measured 0.67 → 0.85 scaling efficiency);
+    - RAM-backed spark.local.dir: the sandbox proxy for per-node shuffle
+      disks (both arms share one box; a real cluster scales disk with nodes).
+    """
+    shm = "/dev/shm/bayard-spark-local"
+    os.makedirs(shm, exist_ok=True)
+    return (
+        builder.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "8388608")
+        .config("spark.sql.files.openCostInBytes", "1048576")
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m"
+        )
+        .config("spark.local.dir", shm)
+        .config("spark.ui.enabled", "false")
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+            "2",
+        )
+    )
+
+
 def make_spark(cpus: int):
     from pyspark.sql import SparkSession
 
     return (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(f"bayard-bench-{cpus}")
-        .config("spark.sql.shuffle.partitions", str(cpus * 2))
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", "24g")
-        .config(
-            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
-            "2",
+        _tuned(
+            SparkSession.builder.master(f"local[{cpus}]")
+            .appName(f"bayard-bench-{cpus}")
+            .config("spark.sql.shuffle.partitions", str(cpus * 2))
+            .config("spark.driver.memory", "24g")
         )
         .getOrCreate()
     )
@@ -134,32 +159,40 @@ def run_build(cpus: int, src_parquet: str | None = None) -> dict:
         raise
 
 
-SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "480000"))
+SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "960000"))
 SCALE_REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+SCALE_CORES = 2  # cores per executor; N=1 exec vs 4N=4 execs
+SCALE_BUCKETS = 256  # FIXED for both arms: the job is a property of the
+#                      data, not of cluster size (identical logical plan)
 
 
-def _make_cluster_spark(executors: int, cores: int = 4):
+def _make_cluster_spark(executors: int, cores: int = SCALE_CORES):
     """local-cluster[N,cores,mem]: real separate executor JVMs — the honest
     sandbox proxy for 'N executors' (python workers, block managers and
-    shuffle are per-executor, as on a real cluster)."""
+    shuffle are per-executor, as on a real cluster). 2-core executors keep
+    even the 4N arm (8 JVM cores + 8 python workers) well under the box's
+    32 CPUs, so the added executors' cycles are real — as they would be on
+    separate nodes — rather than contended."""
     from pyspark.sql import SparkSession
 
     os.environ.setdefault("SPARK_HOME", __import__("pyspark").__path__[0])
     return (
-        SparkSession.builder.master(f"local-cluster[{executors},{cores},12288]")
-        .appName(f"bayard-scale-{executors}x{cores}")
-        .config("spark.sql.shuffle.partitions", str(executors * cores * 2))
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "6g")
-        # NB: local-cluster's mem arg is WORKER memory; the executor heap
-        # comes from spark.executor.memory (default 1g — must be raised)
-        .config("spark.executor.memory", "10g")
-        .config("spark.executorEnv.PYTHONPATH", os.path.dirname(
-            os.path.abspath(__file__)))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config(
-            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
-            "2",
+        _tuned(
+            SparkSession.builder.master(
+                f"local-cluster[{executors},{cores},12288]"
+            )
+            .appName(f"bayard-scale-{executors}x{cores}")
+            .config(
+                "spark.sql.shuffle.partitions", str(executors * cores * 2)
+            )
+            .config("spark.driver.memory", "6g")
+            # NB: local-cluster's mem arg is WORKER memory; the executor
+            # heap comes from spark.executor.memory (default 1g)
+            .config("spark.executor.memory", "10g")
+            .config(
+                "spark.executorEnv.PYTHONPATH",
+                os.path.dirname(os.path.abspath(__file__)),
+            )
         )
         .getOrCreate()
     )
@@ -168,17 +201,16 @@ def _make_cluster_spark(executors: int, cores: int = 4):
 def scaling_build(arm, corpus: str) -> dict:
     """Best-of-SCALE_REPS warm builds for one scaling arm.
 
-    arm: int → local[arm] threads; ("exec", n) → local-cluster[n,4,...].
+    arm: int → local[arm] threads; ("exec", n) → local-cluster[n,2,...].
+    The index layout (buckets/salting) is FIXED across arms so both run the
+    identical logical job — only parallelism changes.
     """
     import tempfile as _tf
 
-    from bayard_spark.build.indexer import IndexBuilder
-    from bayard_spark.schema import webtext_index_meta
-
     if isinstance(arm, tuple):
         spark = _make_cluster_spark(arm[1])
-        cores = arm[1] * 4
-        label = f"local-cluster[{arm[1]}x4]"
+        cores = arm[1] * SCALE_CORES
+        label = f"local-cluster[{arm[1]}x{SCALE_CORES}]"
     else:
         spark = make_spark(arm)
         cores = arm
@@ -187,18 +219,11 @@ def scaling_build(arm, corpus: str) -> dict:
     src = spark.read.parquet(corpus)
     src.limit(1000).count()  # warm python workers
     best = float("inf")
+    shm_idx = "/dev/shm/bayard-bench-idx"
+    os.makedirs(shm_idx, exist_ok=True)
     for _ in range(SCALE_REPS):
-        root = _tf.mkdtemp(prefix="bench_scale_")
-        meta = webtext_index_meta(
-            num_buckets=max(cores * 4, 16),
-            num_waves=1,
-            salt_span=50_000,
-            hot_df_threshold=100_000,
-        )
-        builder = IndexBuilder(spark, meta, root)
-        t0 = time.time()
-        builder.build(src, resume=False)
-        best = min(best, time.time() - t0)
+        root = _tf.mkdtemp(prefix="bench_scale_", dir=shm_idx)
+        best = min(best, _one_scale_build(spark, src, root))
         shutil.rmtree(root, ignore_errors=True)
     spark.stop()
     return {
@@ -208,6 +233,22 @@ def scaling_build(arm, corpus: str) -> dict:
         "build_s": best,
         "docs_per_sec": SCALE_DOCS / best,
     }
+
+
+def _one_scale_build(spark, src, root: str) -> float:
+    from bayard_spark.build.indexer import IndexBuilder
+    from bayard_spark.schema import webtext_index_meta
+
+    meta = webtext_index_meta(
+        num_buckets=SCALE_BUCKETS,
+        num_waves=1,
+        salt_span=50_000,
+        hot_df_threshold=100_000,
+    )
+    builder = IndexBuilder(spark, meta, root)
+    t0 = time.time()
+    builder.build(src, resume=False)
+    return time.time() - t0
 
 
 def materialize_scaling_corpus() -> str:
@@ -312,16 +353,60 @@ def main() -> None:
     print(json.dumps(out))
 
 
+def _prev_round_queries() -> tuple[str, dict] | None:
+    """Newest BENCH_r*.json in the repo root → (name, per-query seconds)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    cands = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    if not cands:
+        return None
+    with open(cands[-1]) as f:
+        data = json.load(f)
+    parsed = data.get("parsed", data)
+    return os.path.basename(cands[-1]), parsed.get("queries", {})
+
+
 def write_baseline_md(hi: dict, lo: dict, scaling: dict, qstats: dict) -> None:
     os.makedirs("BENCH", exist_ok=True)
+    prev = _prev_round_queries()
+    delta_rows = ""
+    if prev:
+        prev_name, prev_q = prev
+        for name, cur in qstats["per_query"].items():
+            old = prev_q.get(name)
+            if old:
+                delta_rows += (
+                    f"| {name} | {old:.3f} | {cur:.3f} | "
+                    f"{(cur / old - 1) * 100:+.0f}% |\n"
+                )
+            else:
+                delta_rows += f"| {name} | — | {cur:.3f} | new |\n"
+        delta = f"""
+## Per-query latency vs previous round ({prev_name})
+
+| query | prev s | now s | Δ |
+|---|---|---|---|
+{delta_rows}"""
+    else:
+        delta = ""
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
             f"""# BENCH — measured baseline (sandbox)
 
 Corpus: {SCALE_DOCS} deterministic webtext docs (BASELINE shape), built from
 parquet (input generation untimed — at 100 TB the input comes from storage).
-Scaling arms per the north rule (N vs 4N executors; separate executor JVMs
-via local-cluster when available):
+Scaling arms per the north rule — N vs 4N EXECUTORS, separate executor JVMs
+(python workers, block managers, shuffle all per-executor, as on a real
+cluster). Both arms run the IDENTICAL logical job: fixed {SCALE_BUCKETS}
+term buckets, fixed 8 MB input splits, same salting; only parallelism
+changes. 2-core executors keep even the 4N arm far below the box's CPU
+count, so the added executors' cycles are real — as on separate nodes.
+Index + shuffle dirs on /dev/shm (the sandbox proxy for per-node disks).
 
 | metric | {scaling['lo_arm']} | {scaling['hi_arm']} |
 |---|---|---|
@@ -331,27 +416,26 @@ via local-cluster when available):
 Speedup **{scaling['speedup']}×** (ideal 4×) → efficiency
 **{scaling['efficiency']}** (target ≥ 0.8 per BASELINE.json).
 
-## Interpretation (single-box caveat)
+## What made it scale (round-2 changes, measured with tools/scale_experiment.py)
 
-Both arms share one machine: memory bandwidth, page cache, and the driver
-JVM are common to N and 4N, which a real cluster does not share. Measured
-decomposition on this host (480k–2.4M docs):
-
-- the analyzer/encode kernels standalone (multiprocessing, no Spark) scale
-  0.75–0.85 at 32 procs;
-- the in-Spark tokenize stage scales ~2.2× from 8→32 threads warm;
-- any single JVM caps at ~10.5k docs/s regardless of cores (8 ≈ 32),
-  while separate executor JVMs exceed it (local-cluster[8x4] ≈ 15.4k docs/s)
-  — i.e. the ceiling is single-JVM shuffle/IPC, absent on multi-executor
-  deployments;
-- there is no serial section in the job itself: every aggregation is
-  partial-agg, no driver-side data paths, per-stage lineage shows all
-  stages distributed (see ARCHITECTURE.md).
+- dedupe + dense-id assignment fused into ONE full-data shuffle (was two);
+- per-field token lengths computed inside the docs write (the norms/stats
+  stage no longer re-tokenizes the corpus);
+- fixed bucket count across arms (256) — finer groups balance the Zipfian
+  encode stage (hot buckets stop serializing a straggler task);
+- pinned 8 MB input splits — split planning folds defaultParallelism in,
+  silently handing the small arm fatter, more efficient tasks;
+- 16 MB AQE advisory partition size — post-shuffle stages carry heavy
+  Python/Arrow compute per row; the 64 MB default coalesced the docs-write
+  exchange to ~5 partitions, flat-lining that stage at any executor count
+  (measured stage efficiency 0.40 → 0.80);
+- warm best-of-{SCALE_REPS} per arm (first run pays JIT + python-worker
+  imports; run-to-run variance on this host is ±25% cold, ~±2% warm).
 
 Query latency over the reference query-shape set (prebuilt index at
 sf={SF_DIR.rstrip('/').split('sf')[-1]}): p50 {qstats['p50_s']} s,
 p95 {qstats['p95_s']} s, {qstats['qps']} QPS.
-"""
+{delta}"""
         )
 
 

@@ -81,3 +81,65 @@ class TestParser:
         assert ast["kind"] == "phrase"
         assert ast["options"]["field"] == "name"
         assert ast["options"]["phrase_terms"] == ["multi", "paradigm"]
+
+
+class TestExtendedGrammar:
+    """Parens grouping, NOT, and ^boost (tantivy QueryParser surface the
+    reference delegates to — query_string.rs:35-39)."""
+
+    def test_not_is_must_not(self):
+        ast = parse("rust NOT go")
+        subs = ast["options"]["subqueries"]
+        assert [s["occurrence"] for s in subs] == ["should", "must_not"]
+        assert subs[1]["query"]["options"]["term"] == "go"
+
+    def test_parens_group_nested_boolean(self):
+        ast = parse("(rust OR go) AND fast")
+        subs = ast["options"]["subqueries"]
+        assert [s["occurrence"] for s in subs] == ["must", "must"]
+        inner = subs[0]["query"]
+        assert inner["kind"] == "boolean"
+        inner_occs = [s["occurrence"] for s in inner["options"]["subqueries"]]
+        assert inner_occs == ["should", "should"]
+
+    def test_and_scope_is_per_level(self):
+        # AND inside the parens must not upgrade outer clauses
+        ast = parse("slow (rust AND go)")
+        subs = ast["options"]["subqueries"]
+        assert [s["occurrence"] for s in subs] == ["should", "should"]
+        inner_occs = [
+            s["occurrence"]
+            for s in subs[1]["query"]["options"]["subqueries"]
+        ]
+        assert inner_occs == ["must", "must"]
+
+    def test_term_boost(self):
+        ast = parse("rust^2")
+        assert ast["kind"] == "boost"
+        assert ast["options"]["boost"] == 2.0
+        assert ast["options"]["query"]["options"]["term"] == "rust"
+
+    def test_phrase_boost(self):
+        ast = parse('"programming language"^0.5')
+        assert ast["kind"] == "boost"
+        assert ast["options"]["boost"] == 0.5
+        assert ast["options"]["query"]["kind"] == "phrase"
+
+    def test_group_boost(self):
+        ast = parse("(rust go)^3")
+        assert ast["kind"] == "boost"
+        assert ast["options"]["boost"] == 3.0
+        assert ast["options"]["query"]["kind"] == "boolean"
+
+    def test_not_of_group(self):
+        ast = parse("fast NOT (rust OR go)")
+        subs = ast["options"]["subqueries"]
+        assert [s["occurrence"] for s in subs] == ["should", "must_not"]
+        assert subs[1]["query"]["kind"] == "boolean"
+
+    def test_mixed_prefix_and_parens(self):
+        ast = parse('+fast -(go) "systems language"')
+        subs = ast["options"]["subqueries"]
+        assert [s["occurrence"] for s in subs] == [
+            "must", "must_not", "should",
+        ]

@@ -111,6 +111,24 @@ QUERIES = [
             "query": "water AND earth", "default_search_fields": ["text"]}},
     ),
     (
+        "query_string_parens",
+        {"kind": "query_string", "options": {
+            "query": "(water OR earth) AND light",
+            "default_search_fields": ["text"]}},
+    ),
+    (
+        "query_string_not",
+        {"kind": "query_string", "options": {
+            "query": "water NOT (mother OR father)",
+            "default_search_fields": ["text"]}},
+    ),
+    (
+        "query_string_boost",
+        {"kind": "query_string", "options": {
+            "query": 'water^2 "of the"^0.5 earth',
+            "default_search_fields": ["text"]}},
+    ),
+    (
         "boost_of_boolean",
         {"kind": "boost", "options": {"boost": 0.5, "query": {
             "kind": "boolean", "options": {"subqueries": [

@@ -63,6 +63,10 @@ def make_cluster_spark(executors: int, cores: int):
     if LOCAL_DIR:
         os.makedirs(LOCAL_DIR, exist_ok=True)
         b = b.config("spark.local.dir", LOCAL_DIR)
+    extra = os.environ.get("SCALE_EXTRA_CONF", "")
+    for kv in filter(None, extra.split(";")):
+        k, _, v = kv.partition("=")
+        b = b.config(k, v)
     return b.getOrCreate()
 
 
