@@ -70,11 +70,13 @@ class OracleIndex:
         field_analyzers: dict[str, str] | None = None,
         k1: float = BM25_K1,
         b: float = BM25_B,
+        lossy_fieldnorms: bool = False,
     ):
         self.analyzers = analyzers or build_analyzers({})
         self.field_analyzers = field_analyzers or {}
         self.k1 = k1
         self.b = b
+        self.lossy_fieldnorms = lossy_fieldnorms
         # field -> term -> {doc_id: [positions]}
         self.postings: dict[str, dict[str, dict[int, list[int]]]] = defaultdict(
             lambda: defaultdict(dict)
@@ -151,6 +153,10 @@ class OracleIndex:
 
     def _tf_norm(self, field: str, doc_id: int, tf: float) -> float:
         dl = self.doc_len[field].get(doc_id, 0)
+        if self.lossy_fieldnorms:
+            from bayard_spark.fieldnorm import quantize_one
+
+            dl = quantize_one(dl)
         avg = self.avg_len(field)
         denom = tf + self.k1 * (1 - self.b + self.b * dl / avg) if avg else tf + self.k1
         return tf * (self.k1 + 1) / denom

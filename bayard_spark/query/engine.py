@@ -181,7 +181,11 @@ class SearchEngine:
     def _decode(self, blocks: DataFrame, want_positions: bool) -> DataFrame:
         """Decode block payloads → (term, doc_id, tf, len[, positions])."""
 
+        lossy = self.meta.lossy_fieldnorms
+
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from bayard_spark.fieldnorm import quantize
+
             for pdf in batches:
                 outs = []
                 for r in pdf.itertuples(index=False):
@@ -190,6 +194,8 @@ class SearchEngine:
                         r.pos_bytes if want_positions else None,
                     )
                     lens = varint_decode(r.len_bytes)
+                    if lossy:
+                        lens = quantize(lens)
                     out = pd.DataFrame(
                         {
                             "term": r.term,
@@ -254,11 +260,15 @@ class SearchEngine:
         # tombstones exist: τ comes from build-time block metadata, and a
         # "full" block may hold deleted docs, so its lb is not guaranteed by
         # k live docs (the bound would silently drop true top-k results).
+        # ... and disabled under lossy fieldnorms: quantized lengths can only
+        # RAISE scores above the raw-metadata upper bound, so τ from raw
+        # min/max_len columns would prune true hits.
         if (
             topk_prune is not None
             and topk_prune <= self.meta.block_size
             and df_count > 8 * self.meta.block_size
             and self.tombstones is None
+            and not self.meta.lossy_fieldnorms
         ):
             blocks = self._prune_blocks(blocks, idf, avg)
         return (

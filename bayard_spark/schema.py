@@ -66,6 +66,9 @@ class IndexMeta:
     # doc-store page compression (reference: none/lz4/brotli/snappy blocks,
     # docs/rest_api/create_index_api.md; parquet gives us zstd/snappy/gzip)
     docstore_compression: str = "zstd"
+    # scoring-time 1-byte fieldnorm quantization (reference fieldnorms:true
+    # semantics; bayard_spark/fieldnorm.py). Default off = exact lengths.
+    lossy_fieldnorms: bool = False
 
     def text_fields(self) -> list[FieldDef]:
         return [f for f in self.fields if f.type == "text" and f.indexed]

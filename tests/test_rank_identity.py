@@ -196,37 +196,6 @@ QUERIES = [
 ]
 
 
-@pytest.fixture(scope="module")
-def built(spark, tmp_index_root):
-    meta = webtext_index_meta(
-        num_buckets=8, num_waves=2, salt_span=100, hot_df_threshold=250
-    )
-    src = webtext_df(spark, N_DOCS, partitions=8)
-    builder = IndexBuilder(spark, meta, tmp_index_root)
-    builder.build(src)
-    engine = SearchEngine(spark, tmp_index_root)
-
-    # oracle over the SAME docs (synthesize driver-side, same seed)
-    pdf = synthesize_batch(np.arange(N_DOCS))
-    # replicate upsert+id assignment: urls unique here, ids by engine's docs
-    docs = {
-        r["url"]: r["doc_id"]
-        for r in spark.read.parquet(builder.paths.docs)
-        .select("url", "doc_id")
-        .collect()
-    }
-    oracle = OracleIndex(
-        analyzers=engine.analyzers,
-        field_analyzers={"url": "raw", "text": "default", "lang": "raw"},
-    )
-    for row in pdf.itertuples(index=False):
-        oracle.add(
-            docs[row.url],
-            {"url": row.url, "text": row.text, "lang": row.lang},
-        )
-    return engine, oracle
-
-
 @pytest.mark.parametrize("name,query", QUERIES, ids=[q[0] for q in QUERIES])
 def test_rank_identity(built, name, query):
     engine, oracle = built
