@@ -41,9 +41,9 @@ def danish(word: str) -> str:
         and word[-2] in _DA_S_ENDINGS
     ):
         word = word[:-1]
-    # step 2: consonant pair gd dt gt kt → drop last letter
+    # step 2: consonant pair gd dt gt kt (pair inside R1) → drop last letter
     r1 = _da_r1(word)
-    if len(word) - 1 >= r1 and word[-2:] in ("gd", "dt", "gt", "kt"):
+    if len(word) - 2 >= r1 and word[-2:] in ("gd", "dt", "gt", "kt"):
         word = word[:-1]
     # step 3
     if word.endswith("igst"):
@@ -56,9 +56,10 @@ def danish(word: str) -> str:
         if suf:
             word = word[: -len(suf)]
             r1 = _da_r1(word)
-            if len(word) - 1 >= r1 and word[-2:] in ("gd", "dt", "gt", "kt"):
+            if len(word) - 2 >= r1 and word[-2:] in ("gd", "dt", "gt", "kt"):
                 word = word[:-1]
-    # step 4: undouble — word ends with double consonant in R1
+    # step 4: undouble — double consonant whose LAST char is in R1
+    # (unlike step 2, the pair may straddle the R1 boundary: 'spiss'→'spis')
     r1 = _da_r1(word)
     if (
         len(word) >= 2
@@ -114,9 +115,9 @@ def norwegian(word: str) -> str:
             word = word[: -len(suf)]
         else:
             word = word[: -len(suf)] + "er"
-    # step 2: dt or vt → drop last letter
+    # step 2: dt or vt (pair inside R1) → drop last letter
     r1 = _no_r1(word)
-    if len(word) - 1 >= r1 and word[-2:] in ("dt", "vt"):
+    if len(word) - 2 >= r1 and word[-2:] in ("dt", "vt"):
         word = word[:-1]
     # step 3
     r1 = _no_r1(word)
@@ -157,9 +158,9 @@ def swedish(word: str) -> str:
         and word[-2] in _SV_S_ENDINGS
     ):
         word = word[:-1]
-    # step 2: dd gd nn dt gt kt tt → drop last letter
+    # step 2: dd gd nn dt gt kt tt (pair inside R1) → drop last letter
     r1 = _sv_r1(word)
-    if len(word) - 1 >= r1 and word[-2:] in (
+    if len(word) - 2 >= r1 and word[-2:] in (
         "dd", "gd", "nn", "dt", "gt", "kt", "tt"
     ):
         word = word[:-1]

@@ -217,10 +217,15 @@ def scaling_build(arm, corpus: str) -> dict:
         label = f"local[{arm}]"
     spark.sparkContext.setLogLevel("ERROR")
     src = spark.read.parquet(corpus)
-    src.limit(1000).count()  # warm python workers
     best = float("inf")
     shm_idx = "/dev/shm/bayard-bench-idx"
     os.makedirs(shm_idx, exist_ok=True)
+    # untimed warmup build on a slice: pays JIT compilation + python-worker
+    # imports once, so the timed reps measure steady-state throughput
+    # (cold-vs-warm variance on this host is ±25% vs ±2%)
+    warm_root = _tf.mkdtemp(prefix="bench_warm_", dir=shm_idx)
+    _one_scale_build(spark, src.limit(SCALE_DOCS // 8), warm_root)
+    shutil.rmtree(warm_root, ignore_errors=True)
     for _ in range(SCALE_REPS):
         root = _tf.mkdtemp(prefix="bench_scale_", dir=shm_idx)
         best = min(best, _one_scale_build(spark, src, root))
