@@ -146,4 +146,6 @@ STEMMERS = {
     "romanian": romanian,
     "finnish": finnish,
     "hungarian": hungarian,
+    # turkish: see snowball/turkish.py — EXPERIMENTAL, 76% oracle
+    # agreement, intentionally NOT registered (filter_stemming gates it)
 }
