@@ -69,7 +69,13 @@ class CommitLog:
 class SegmentWriter:
     """Stages new segments; commit()/rollback() control visibility."""
 
-    def __init__(self, spark: SparkSession, builder) -> None:
+    # Batches with more rows than this get bucket-offset id assignment
+    # (multi-partition, same method as the bulk build) instead of one
+    # global row_number window (which serializes on a single task).
+    BULK_ID_THRESHOLD = 65_536
+
+    def __init__(self, spark: SparkSession, builder,
+                 bulk_id_threshold: int | None = None) -> None:
         # builder: bayard_spark.build.indexer.IndexBuilder (shares analyzers,
         # meta, paths)
         self.spark = spark
@@ -79,6 +85,11 @@ class SegmentWriter:
         self.io = self.log.io
         self._staged_segments: list[str] = []
         self._staged_tombstones: list[str] = []
+        self._reserved_next: int | None = None
+        self.bulk_id_threshold = (
+            self.BULK_ID_THRESHOLD if bulk_id_threshold is None
+            else int(bulk_id_threshold)
+        )
 
     # ---------- helpers ----------
 
@@ -88,8 +99,26 @@ class SegmentWriter:
         return visible_docs(self.spark, self.paths)
 
     def _next_doc_id(self) -> int:
-        # max over base + all segment docs including tombstoned ones — ids
-        # are never reused
+        """High-water doc_id — ids are never reused.
+
+        Served from the commit log's persisted `next_doc_id` (one JSON
+        read, zero Spark jobs); the max-over-every-segment scan below runs
+        only ONCE per index lifetime, to migrate indexes built before the
+        field existed. Within a writer the reservation advances locally as
+        puts stage ids, so consecutive puts don't re-read the log."""
+        if self._reserved_next is not None:
+            return self._reserved_next
+        state = self.log.read()
+        nd = state.get("next_doc_id")
+        if nd is None:
+            nd = self._scan_max_doc_id() + 1
+        self._reserved_next = int(nd)
+        return self._reserved_next
+
+    def _scan_max_doc_id(self) -> int:
+        # legacy migration path: max over base + all segment docs including
+        # tombstoned ones (O(#segments) jobs — replaced by the commit-log
+        # high-water mark for every index that has committed since)
         dfs = [self.spark.read.parquet(self.paths.docs)]
         seg_root = self.io.path("segments")
         for seg in self.io.listdir(seg_root):
@@ -100,7 +129,7 @@ class SegmentWriter:
         for d in dfs:
             row = d.agg(F.max("doc_id").alias("m")).collect()[0]
             m = max(m, int(row["m"] if row["m"] is not None else -1))
-        return m + 1
+        return m
 
     def _segment_name(self) -> str:
         return f"seg{int(time.time() * 1000)}_{len(self._staged_segments)}"
@@ -127,15 +156,23 @@ class SegmentWriter:
         replaced = existing.join(latest.select("url"), "url").select("doc_id")
         ts_file = self.io.path("tombstones", f"{seg}.parquet")
         replaced.write.mode("overwrite").parquet(ts_file)
-        # assign fresh contiguous ids after the current max
+        # assign fresh contiguous ids after the current high-water mark
         base = self._next_doc_id()
-        w = Window.orderBy("url")
-        with_ids = latest.withColumn(
-            "doc_id", F.lit(base) + F.row_number().over(w) - 1
-        )
-        # NOTE: the single-partition window is fine for incremental batches
-        # (they are update-sized); bulk loads go through IndexBuilder.build's
-        # bucket-offset assignment.
+        n = latest.count()
+        if n > self.bulk_id_threshold:
+            # large put: the same bucket-offset method as the bulk build —
+            # per-bucket distinct-url counts (metadata-sized collect) give
+            # contiguous offsets, ids assigned by an in-bucket url rank;
+            # the window stays partitioned, nothing serializes on one task
+            with_ids = self._assign_ids_bucketed(latest, base)
+        else:
+            # update-sized batch: one tiny global window is cheaper than
+            # the counting pre-pass
+            w = Window.orderBy("url")
+            with_ids = latest.withColumn(
+                "doc_id", F.lit(base) + F.row_number().over(w) - 1
+            )
+        self._reserved_next = base + n
         seg_docs = os.path.join(self.paths.root, "segments", seg, "docs")
         with_ids.write.mode("overwrite").parquet(seg_docs)
         docs_df = self.spark.read.parquet(seg_docs)
@@ -149,6 +186,39 @@ class SegmentWriter:
         self._staged_segments.append(seg)
         self._staged_tombstones.append(ts_file)
         return seg
+
+    def _assign_ids_bucketed(self, latest: DataFrame, base: int) -> DataFrame:
+        """Dense deterministic ids for a large batch: hash urls into
+        num_buckets, collect per-bucket counts (num_buckets rows — metadata,
+        not data), prefix-sum into offsets, then rank urls within each
+        bucket. Mirrors IndexBuilder.assign_doc_ids (build/indexer.py:403)
+        minus the dedupe (latest is already one row per url)."""
+        nb = self.b.meta.num_buckets
+        bucket_col = F.pmod(F.xxhash64("url"), F.lit(nb)).cast("int")
+        counts = {
+            r["doc_bucket"]: r["n"]
+            for r in latest.select(bucket_col.alias("doc_bucket"))
+            .groupBy("doc_bucket")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        offsets, acc = {}, base
+        for bkt in range(nb):
+            offsets[bkt] = acc
+            acc += counts.get(bkt, 0)
+        off_df = self.spark.createDataFrame(
+            [(bkt, offsets[bkt]) for bkt in range(nb)],
+            "doc_bucket int, _offset long",
+        )
+        w = Window.partitionBy("doc_bucket").orderBy("url")
+        return (
+            latest.withColumn("doc_bucket", bucket_col)
+            .join(F.broadcast(off_df), "doc_bucket")
+            .withColumn(
+                "doc_id", F.col("_offset") + F.row_number().over(w) - 1
+            )
+            .drop("doc_bucket", "_offset")
+        )
 
     def delete_documents(self, urls: list[str]) -> str:
         """Stage deletes: tombstone every doc whose url matches."""
@@ -182,6 +252,10 @@ class SegmentWriter:
         state["segments"].extend(self._staged_segments)
         state["tombstones"].extend(self._staged_tombstones)
         state["version"] += 1
+        if self._reserved_next is not None:
+            state["next_doc_id"] = max(
+                int(state.get("next_doc_id", 0)), self._reserved_next
+            )
         self.log.write(state)
         self._staged_segments = []
         self._staged_tombstones = []
@@ -338,7 +412,11 @@ def merge_segments(spark: SparkSession, builder) -> dict:
     io.delete_dir(old_docs)
     io.delete_dir(io.path("segments"))
     io.delete_dir(io.path("tombstones"))
-    log.write({"segments": [], "tombstones": [], "version": log.read()["version"] + 1})
+    prior = log.read()
+    reset = {"segments": [], "tombstones": [], "version": prior["version"] + 1}
+    if "next_doc_id" in prior:  # merge keeps doc ids; the high-water survives
+        reset["next_doc_id"] = prior["next_doc_id"]
+    log.write(reset)
     builder.write_norms_stats_from_blocks()
     return {"merged": True}
 
