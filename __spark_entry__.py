@@ -112,6 +112,25 @@ def q_fuzzy_terms(spark, sf_dir):
     )
 
 
+def q_query_string(spark, sf_dir):
+    """query_string end-to-end: the REAL grammar parser (query/parser.py —
+    parens, NOT, ^boost) builds the AST, which evaluates as a relational
+    plan with engine boolean semantics (score-sum, must_not anti-join).
+    Reference: bayard/src/search/query/query_string.rs:16-40."""
+    from bayard_spark.analysis.analyzer import build_analyzers
+    from bayard_spark.query.parser import parse_query_string
+    from bayard_spark.schema import webtext_index_meta
+
+    _, tok, nrm, stats = _tok_ctx(spark, sf_dir)
+    ast = parse_query_string(
+        "(spark OR query) NOT vector join^2",
+        ["text"],
+        build_analyzers(webtext_index_meta().analyzers),
+        {"text": "default"},
+    )
+    return _top(R.eval_ast(tok, nrm, stats, ast))
+
+
 def q_range_filter(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return (
@@ -626,6 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boost": q_boost,
         "regex_terms": q_regex_terms,
         "fuzzy_terms": q_fuzzy_terms,
+        "query_string": q_query_string,
         "range_filter": q_range_filter,
         "json_path_term": q_json_path_term,
         "range_u64": q_range_u64,
@@ -729,6 +749,25 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 
     sqls["regex_terms"] = _exp_sql("regexp_matches(term, '^jo[a-z]*$')")
     sqls["fuzzy_terms"] = _exp_sql("levenshtein(term, 'joinz') <= 1")
+
+    # hand-expanded boolean for '(spark OR query) NOT vector join^2':
+    # should( should(spark) + should(query) ), must_not(vector),
+    # should( 2.0 * term(join) )
+    sqls["query_string"] = f"""
+{_PRELUDE},
+{_term_cte(1, 'spark').strip()},
+{_term_cte(2, 'query').strip()},
+{_term_cte(3, 'join').strip()},
+grp AS (SELECT doc_id, sum(score) AS score
+        FROM (SELECT * FROM sc_1 UNION ALL SELECT * FROM sc_2)
+        GROUP BY doc_id),
+u AS (SELECT doc_id, score FROM grp
+      UNION ALL SELECT doc_id, score * 2.0 AS score FROM sc_3)
+SELECT doc_id, round(sum(score), 6) AS score FROM u
+WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM tok WHERE term = 'vector')
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
 
     sqls["range_filter"] = """
 SELECT doc_id, n_chars FROM documents

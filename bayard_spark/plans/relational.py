@@ -173,6 +173,80 @@ def phrase_scores(
     )
 
 
+def eval_ast(
+    tok: DataFrame,
+    nrm: DataFrame,
+    stats: DataFrame,
+    ast: dict,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Evaluate a parsed query AST (bayard_spark.query.parser output) as a
+    relational plan — same composition rules as SearchEngine._boolean_scores
+    (score-sum booleans, boolean.rs:272-290): must = join chain with
+    clause-order sum, should = union + groupBy sum, must_not = left_anti.
+    Lets the driver gate run the REAL query_string parser end-to-end with a
+    hand-expanded SQL twin."""
+    from functools import reduce
+
+    kind = ast["kind"]
+    opts = ast.get("options", {})
+    if kind == "term":
+        return term_scores(tok, nrm, stats, opts["term"], k1, b)
+    if kind == "phrase":
+        terms = opts["phrase_terms"]
+        if len(terms) != 2 or opts.get("slop", 0) != 0:
+            raise ValueError("relational phrase plan supports 2-term slop-0")
+        return phrase_scores(tok, nrm, stats, terms[0], terms[1], k1, b)
+    if kind == "boost":
+        inner = eval_ast(tok, nrm, stats, opts["query"], k1, b)
+        return inner.select(
+            "doc_id", (F.col("score") * F.lit(float(opts["boost"]))).alias("score")
+        )
+    if kind == "boolean":
+        musts, shoulds, must_nots = [], [], []
+        for sq in opts.get("subqueries", []):
+            {"must": musts, "should": shoulds, "must_not": must_nots}[
+                sq["occurrence"]
+            ].append(sq["query"])
+        cand = None
+        if musts:
+            frames = [
+                eval_ast(tok, nrm, stats, q, k1, b).withColumnRenamed(
+                    "score", f"_m{i}"
+                )
+                for i, q in enumerate(musts)
+            ]
+            base = reduce(lambda a, fr: a.join(fr, "doc_id"), frames[1:], frames[0])
+            total = reduce(
+                lambda a, bb: a + bb,
+                [F.col(f"_m{i}") for i in range(len(musts))],
+            )
+            cand = base.select("doc_id", total.alias("score"))
+        if shoulds:
+            frames = [eval_ast(tok, nrm, stats, q, k1, b) for q in shoulds]
+            unioned = reduce(lambda a, bb: a.unionByName(bb), frames)
+            ssum = unioned.groupBy("doc_id").agg(F.sum("score").alias("_s"))
+            if cand is None:
+                cand = ssum.select("doc_id", F.col("_s").alias("score"))
+            else:
+                cand = (
+                    cand.join(ssum, "doc_id", "left")
+                    .withColumn(
+                        "score",
+                        F.col("score") + F.coalesce(F.col("_s"), F.lit(0.0)),
+                    )
+                    .drop("_s")
+                )
+        if cand is None:
+            raise ValueError("boolean with only must_not is unsupported here")
+        for q in must_nots:
+            neg = eval_ast(tok, nrm, stats, q, k1, b).select("doc_id")
+            cand = cand.join(neg, "doc_id", "left_anti")
+        return cand
+    raise ValueError(f"unsupported AST kind for relational eval: {kind!r}")
+
+
 # ---------- shared SQL fragments for the DuckDB oracle twins ----------
 
 def sql_tokens(table: str = "documents", text_col: str = "text") -> str:
