@@ -8,8 +8,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Tiny built-in stopword profiles (n-gram-free heuristic language ID:
-# fraction of tokens hitting each language's function-word list).
+# Built-in stopword profiles (n-gram-free heuristic language ID: fraction
+# of tokens hitting each language's function-word list). One profile per
+# language the index analyzers can stem (the 18 Snowball languages,
+# reference docs/analyzers.md:229). Closely-related pairs (da/no, es/pt)
+# share many function words — ties resolve by argmax ratio, so a short
+# ambiguous text may land on the sibling language; the labeled-fixture
+# test documents the achieved precision.
 LANG_PROFILES: dict[str, list[str]] = {
     "en": ["the", "of", "and", "to", "a", "in", "is", "it", "you", "that",
            "was", "for", "on", "are", "with"],
@@ -19,6 +24,34 @@ LANG_PROFILES: dict[str, list[str]] = {
            "se", "del", "las", "una", "es"],
     "fr": ["le", "la", "de", "et", "les", "des", "est", "un", "une", "du",
            "dans", "que", "qui", "pour", "sur"],
+    "pt": ["o", "que", "do", "da", "em", "um", "para", "é", "com", "não",
+           "uma", "os", "no", "se", "na"],
+    "it": ["di", "che", "è", "il", "non", "per", "sono", "con", "mi", "si",
+           "ma", "le", "gli", "della", "anche"],
+    "ro": ["și", "în", "cu", "pe", "este", "care", "nu", "să", "din", "mai",
+           "am", "fost", "dar", "cum", "după"],
+    "nl": ["de", "en", "van", "ik", "te", "dat", "die", "een", "hij", "het",
+           "niet", "zijn", "maar", "ook", "aan"],
+    "da": ["og", "det", "at", "den", "til", "er", "som", "på", "med", "han",
+           "af", "ikke", "har", "jeg", "var"],
+    "no": ["og", "det", "at", "den", "til", "er", "som", "på", "med", "han",
+           "av", "ikke", "har", "jeg", "å"],
+    "sv": ["och", "att", "det", "en", "jag", "är", "som", "på", "den", "med",
+           "för", "inte", "till", "av", "har"],
+    "fi": ["ja", "on", "ei", "se", "että", "hän", "oli", "mutta", "kun",
+           "niin", "kuin", "joka", "myös", "ovat", "tämä"],
+    "hu": ["az", "és", "hogy", "nem", "is", "egy", "ez", "van", "meg", "ha",
+           "már", "csak", "volt", "mint", "még"],
+    "ru": ["и", "в", "не", "на", "я", "что", "он", "с", "как", "это", "по",
+           "но", "она", "к", "у"],
+    "tr": ["bir", "ve", "bu", "için", "ile", "ne", "çok", "daha", "ama",
+           "gibi", "her", "ben", "kadar", "sonra", "ya"],
+    "ar": ["في", "من", "على", "أن", "إلى", "عن", "هذا", "مع", "كان", "التي",
+           "الذي", "ما", "لا", "هو", "أو"],
+    "el": ["και", "το", "η", "ο", "να", "του", "της", "με", "που", "την",
+           "για", "από", "τα", "στο", "είναι"],
+    "ta": ["ஒரு", "மற்றும்", "என்று", "இந்த", "அந்த", "இது", "அவர்", "என",
+           "உள்ள", "மிகவும்", "அது", "தான்", "போது", "வேண்டும்", "பல"],
 }
 
 TOKEN_SPLIT = r"[^\p{L}\p{N}]+"

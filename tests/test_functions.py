@@ -173,6 +173,42 @@ class TestTextstats:
         out = {r["doc_id"]: r["lang_pred"] for r in textstats.language_id(df).collect()}
         assert out == {1: "en", 2: "de", 3: "es", 4: "und"}
 
+    def test_language_id_all_18_profiles(self, spark):
+        """Labeled fixture, one sample per Snowball language — 18/18 on
+        this fixture (short ambiguous text may still confuse da/no or
+        es/pt; the profiles' sibling-language caveat is documented in
+        textstats.LANG_PROFILES)."""
+        samples = {
+            "en": "the cat sat on the mat and it was happy with that for you",
+            "de": "der hund ist nicht mit der katze und das ist gut für sie",
+            "es": "el perro y el gato en la casa con los niños se ven del parque",
+            "fr": "le chien et le chat dans la maison pour les enfants qui sont sur du pain",
+            "pt": "o cão não está em casa mas é um para uma pessoa com os outros no jardim",
+            "it": "il cane non è per la casa ma che sono con gli amici anche della città",
+            "ro": "și câinele este în casă cu pisica pe care nu să o vadă din nou mai mult",
+            "nl": "de hond is niet in het huis maar ik denk dat hij een kat van mij ook aan zijn",
+            "da": "og hunden er ikke i huset men jeg har set den med han til at være af og var",
+            "no": "og hunden er ikke i huset men jeg har sett den med han til å være av igjen",
+            "sv": "och hunden är inte i huset men jag har sett den med för att det är på av",
+            "fi": "ja koira ei ole talossa mutta se on niin kuin hän oli kun myös tämä että",
+            "hu": "az kutya nem van a házban de már csak egy ez is volt még mint hogy és meg",
+            "ru": "и собака не в доме но я думаю что он с как это по она к у нам",
+            "tr": "bir köpek ve bu ev için çok daha ama gibi her ben ile ne kadar sonra ya",
+            "ar": "في البيت من الكلب على أن إلى عن هذا مع كان التي الذي ما لا هو أو",
+            "el": "και το σκυλί η γάτα ο άνθρωπος να του της με που την για από τα στο είναι",
+            "ta": "ஒரு நாய் மற்றும் என்று இந்த அந்த இது அவர் என உள்ள மிகவும் அது தான் போது வேண்டும் பல",
+        }
+        assert set(samples) == set(textstats.LANG_PROFILES)
+        langs = sorted(samples)
+        df = spark.createDataFrame(
+            [(i, samples[lang]) for i, lang in enumerate(langs)],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["lang_pred"]
+               for r in textstats.language_id(df).collect()}
+        got = {lang: out[i] for i, lang in enumerate(langs)}
+        assert got == {lang: lang for lang in langs}, got
+
     def test_quality_features(self, spark):
         df = spark.createDataFrame(
             [(1, "the good text has the usual words in it"),
@@ -205,7 +241,7 @@ class TestTextstats:
 
 class TestMultimodal:
     def test_image_metadata_png_header(self, spark):
-        png = (b"\x89PNG\r\n\x1a\n" + b"\x00" * 8
+        png = (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
                + (640).to_bytes(4, "big") + (480).to_bytes(4, "big"))
         df = spark.createDataFrame(
             [(1, png), (2, b"\xff\xd8rest"), (3, b"junkbytes"), (4, None)],
@@ -242,3 +278,60 @@ class TestMultimodal:
         assert by_asset[1] == [0, 10, 20, 30]  # capped at max_frames
         assert 2 not in by_asset  # too short to have frames
         assert all(len(r["frame_bytes"]) == 1024 for r in rows)
+
+    def test_image_metadata_real_headers_all_formats(self, spark):
+        # structurally-valid minimal files built with stdlib only — the
+        # decoder must read dimensions from each container's real header
+        import struct
+        import zlib
+
+        def make_png(w, h):
+            def chunk(tag, data):
+                return (struct.pack(">I", len(data)) + tag + data
+                        + struct.pack(">I", zlib.crc32(tag + data)))
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            raw = b"".join(b"\x00" + b"\x00\x00\x00" * w for _ in range(h))
+            return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+        def make_jpeg(w, h):
+            app0 = (b"\xff\xe0" + struct.pack(">H", 16)
+                    + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+            dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(64)
+            sof = (b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1)
+                   + b"\x01\x11\x00")
+            return b"\xff\xd8" + app0 + dqt + sof + b"\xff\xd9"
+
+        def make_gif(w, h):
+            return (b"GIF89a" + struct.pack("<HH", w, h)
+                    + b"\x00\x00\x00" + b"\x3b")
+
+        def make_webp_lossless(w, h):
+            b0 = (w - 1) & 0xFF
+            b1 = (((w - 1) >> 8) & 0x3F) | (((h - 1) & 0x3) << 6)
+            b2 = ((h - 1) >> 2) & 0xFF
+            b3 = ((h - 1) >> 10) & 0x0F
+            payload = b"\x2f" + bytes([b0, b1, b2, b3]) + b"\x00\x00\x00"
+            return (b"RIFF" + struct.pack("<I", 4 + 8 + len(payload))
+                    + b"WEBP" + b"VP8L" + struct.pack("<I", len(payload))
+                    + payload)
+
+        def make_bmp(w, h):
+            dib = struct.pack("<Iii", 40, w, h) + bytes(28)
+            return (b"BM" + struct.pack("<IHHI", 54, 0, 0, 54) + dib)
+
+        cases = [
+            (1, make_png(640, 480), ("png", 640, 480)),
+            (2, make_jpeg(1024, 768), ("jpeg", 1024, 768)),
+            (3, make_gif(320, 200), ("gif", 320, 200)),
+            (4, make_webp_lossless(512, 384), ("webp", 512, 384)),
+            (5, make_bmp(800, 600), ("bmp", 800, 600)),
+            (6, b"not an image at all", ("unknown", 0, 0)),
+        ]
+        df = spark.createDataFrame(
+            [(i, b) for i, b, _ in cases], "asset_id long, media binary"
+        )
+        rows = {r["asset_id"]: r for r in multimodal.image_metadata(df).collect()}
+        for i, _, want in cases:
+            got = (rows[i]["format"], rows[i]["width"], rows[i]["height"])
+            assert got == want, f"asset {i}: {got} != {want}"
