@@ -43,6 +43,7 @@ from bayard_spark.analysis.snowball.portuguese import (
     _STEP2 as _PT_STEP2,
     portuguese,
 )
+from bayard_spark.analysis.snowball.turkish import turkish
 from bayard_spark.analysis.snowball.russian import (
     _ADJECTIVE,
     _NOUN,
@@ -146,6 +147,5 @@ STEMMERS = {
     "romanian": romanian,
     "finnish": finnish,
     "hungarian": hungarian,
-    # turkish: see snowball/turkish.py — EXPERIMENTAL, 76% oracle
-    # agreement, intentionally NOT registered (filter_stemming gates it)
+    "turkish": turkish,
 }

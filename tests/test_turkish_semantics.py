@@ -1,8 +1,8 @@
-"""Pins the oracle-verified behavior subset of the EXPERIMENTAL Turkish
-stemmer (bayard_spark/analysis/snowball/turkish.py — not registered in
-STEMMERS; every pair below was confirmed against PostgreSQL dict_snowball
-word-by-word). Guards the derived mechanics (scanning vowel harmony,
-per-letter buffer policies, abort-vs-fallthrough) for the next iteration.
+"""Pins oracle-verified Turkish stemmer semantics (every pair confirmed
+against the stopword-free PostgreSQL dict_snowball oracle word-by-word).
+The full golden suite lives in tests/data/snowball/turkish.tsv (11,974
+pairs, 100% agreement); this file guards the derived mechanics (scanning
+vowel harmony, buffer policies, continuation chains) with readable cases.
 """
 
 import pytest
@@ -55,7 +55,7 @@ def test_verified_pairs(word, stem):
     assert turkish(word) == stem
 
 
-def test_not_registered():
+def test_registered():
     from bayard_spark.analysis.snowball import STEMMERS
 
-    assert "turkish" not in STEMMERS
+    assert STEMMERS["turkish"] is turkish

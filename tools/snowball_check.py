@@ -57,21 +57,40 @@ STEMS = {
     "russian": ["работ", "книг", "стол", "бел", "говор", "сил"],
     "finnish": ["talo", "kirja", "nopea", "puhu", "katu", "vesi"],
     "hungarian": ["asztal", "könyv", "gyors", "beszél", "ház", "víz"],
-    "turkish": ["kitap", "ev", "güzel", "konuş", "okul", "araba"],
+    "turkish": ["kitap", "ev", "güzel", "konuş", "okul", "araba", "gemi", "oda", "kedi", "kalem"],
     "arabic": ["كتاب", "مدرس", "علم", "قلم"],
     "greek": ["δουλει", "βιβλι", "μεγαλ", "πορτ"],
     "tamil": ["புத்தக", "வீடு"],
 }
 
 
+_NOSTOP_READY: set[str] = set()
+
+
+def _ensure_nostop(lang: str) -> None:
+    """Create a stopword-free snowball dictionary: <lang>_stem ships
+    with a stopword list (ts_lexize returns {} for e.g. turkish 'ile'),
+    which is NOT stemmer behavior — rust-stemmers has no stopwords."""
+    if lang in _NOSTOP_READY:
+        return
+    subprocess.run(
+        ["psql", "-h", "/tmp", "-U", "postgres", "-tA"],
+        input=("CREATE TEXT SEARCH DICTIONARY {l}_nostop "
+               "(TEMPLATE=snowball, Language={l});".format(l=lang)),
+        capture_output=True, text=True,
+    )  # ignore "already exists"
+    _NOSTOP_READY.add(lang)
+
+
 def pg_stem(lang: str, words: list[str]) -> list[str]:
     """Batch ts_lexize via psql (server on /tmp socket)."""
+    _ensure_nostop(lang)
     out: list[str] = []
     for i in range(0, len(words), 5000):
         chunk = words[i : i + 5000]
         arr = ",".join("'" + w.replace("'", "''") + "'" for w in chunk)
         sql = (
-            "SELECT coalesce((ts_lexize('{l}_stem', w))[1], w) "
+            "SELECT coalesce((ts_lexize('{l}_nostop', w))[1], w) "
             "FROM unnest(array[{a}]) AS w".format(l=lang, a=arr)
         )
         r = subprocess.run(
