@@ -13,6 +13,7 @@ only `query_string` runs the analyzer — the query layer honors this.
 
 from __future__ import annotations
 
+import json
 from dataclasses import dataclass, field
 from typing import Any, Callable
 
@@ -62,7 +63,13 @@ def build_analyzer(name: str, config: dict[str, Any]) -> Analyzer:
     tok_name = tok_cfg["name"]
     if tok_name not in TOKENIZERS:
         raise ValueError(f"analyzer {name!r}: unknown tokenizer {tok_name!r}")
-    tok_args = tuple(sorted((tok_cfg.get("args") or {}).items()))
+    tok_args = tuple(sorted(
+        # nested JSON args (e.g. lindera's decompose mode object) are
+        # canonicalized to a JSON string so the frozen Analyzer stays
+        # hashable/picklable; the tokenizer parses them back
+        (k, json.dumps(v, sort_keys=True) if isinstance(v, dict) else v)
+        for k, v in (tok_cfg.get("args") or {}).items()
+    ))
     specs: list[tuple[str, tuple[tuple[str, Any], ...]]] = []
     for f in config.get("filters", []) or []:
         fname = f.get("name")

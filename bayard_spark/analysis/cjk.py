@@ -1,0 +1,230 @@
+"""CJK tokenizer — lindera-class segmentation behind the pluggable slot.
+
+The reference tokenizes Chinese/Japanese/Korean with Lindera, a MeCab-style
+morphological analyzer over external dictionaries (ipadic / cc-cedict /
+ko-dic) — bayard/src/index/tokenizer/lindera.rs, docs/analyzers.md:101-155.
+Those multi-hundred-MB dictionaries aren't shippable here, so this module
+implements a DICTIONARY-LIGHT segmenter with the same config surface:
+
+    {"name": "lindera",
+     "args": {"dict_type": "ipadic" | "cc-cedict" | "ko-dic",
+              "mode": "normal" | {"decompose": {...}}}}
+
+Segmentation model (deterministic, pinned by tests/test_cjk.py goldens):
+
+- A single compiled alternation regex scans each string left-to-right; at
+  every position the FIRST matching branch wins, and branches are ordered
+  longest-dictionary-entry first, so the scan is greedy maximal matching
+  over the bundled lexicon (same discipline as MeCab's lattice for the
+  common case, without the Viterbi costs).
+- Out-of-vocabulary fallbacks, in branch order after the lexicon:
+  katakana runs (loanwords are one token), hiragana runs, single Han
+  characters (unigram — keeps recall: any dictionary word is still
+  reachable as a phrase of its characters), Hangul syllable runs, and
+  non-CJK word runs (latin/digits, same class as the `simple` tokenizer).
+- `decompose` mode re-segments Han lexicon matches longer than
+  `kanji_penalty_length_threshold` (default 2) into shorter lexicon words
+  when they tile the compound exactly (関西国際空港 → 関西/国際/空港),
+  mirroring Lindera's decompose mode for compounds
+  (lindera.rs:35-47 test config).
+
+The hot path is one pandas ``str.findall`` + explode — the scan loop lives
+in the C regex engine, not per-row Python.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import numpy as np
+import pandas as pd
+
+# --------------------------------------------------------------- lexicons
+# Small curated common-word lexicons (public vocabulary). Enough to make
+# everyday text segment into words; everything else falls back to the
+# documented OOV classes above.
+
+_JA_WORDS = """
+日本語 形態素 解析 関西国際空港 関西 国際 空港 東京大学 東京 大阪
+京都 名古屋 北海道 沖縄
+日本 中国 韓国 アメリカ 世界 言語 辞書 検索 索引 情報 技術 開発 研究
+学校 大学 学生 先生 会社 仕事 時間 今日 明日 昨日 今年 去年 毎日
+天気 電車 新幹線 飛行機 駅 電話 映画 音楽 料理 寿司 写真 新聞 雑誌
+図書館 病院 銀行 公園 部屋 家族 友達 子供 名前 問題 質問 答え 意味
+文化 歴史 科学 自然 環境 経済 政治 政府 社会 文字 文章 単語 文法
+行う 行く 来る 見る 食べる 飲む 読む 書く 話す 聞く 買う 売る 作る
+使う 思う 知る 分かる 出来る 遊ぶ 働く 住む 帰る 待つ 持つ 取る
+します した して しない ます ました ません です でした でき できる
+できます ない なかった こと もの ところ これ それ あれ この その
+どの ここ そこ どこ 私 僕 彼女 彼 誰 何 いつ なぜ どう とても
+ください ありがとう こんにちは さようなら おはよう
+の は を に が と で も へ や から まで より ね よ か な さ
+""".split()
+
+_ZH_WORDS = """
+中国 北京 上海 广州 深圳 香港 台湾 美国 日本 韩国 世界 国家 政府
+我们 你们 他们 她们 自己 大家 今天 明天 昨天 现在 时间 时候 已经
+学校 大学 学生 老师 同学 朋友 家庭 孩子 父母 工作 公司 经理 员工
+信息 技术 开发 研究 搜索 引擎 语言 分词 词典 汉语 中文 英语 文字
+电脑 计算机 手机 电话 电影 音乐 新闻 报纸 图书馆 医院 银行 公园
+城市 农村 经济 文化 历史 科学 自然 环境 问题 方法 系统 数据 分析
+可以 不是 没有 什么 怎么 为什么 因为 所以 但是 如果 虽然 然后
+喜欢 知道 觉得 认为 希望 需要 应该 开始 结束 学习 使用 提供 进行
+的 了 在 是 我 你 他 她 它 和 与 或 都 很 不 也 就 还 又 被 把
+""".split()
+
+_KO_WORDS = """
+한국 서울 부산 대한민국 북한 중국 일본 미국 세계 국가 정부 사회
+우리 당신 그들 오늘 내일 어제 지금 시간 학교 대학 학생 선생님
+친구 가족 아이 부모 회사 직장 정보 기술 개발 연구 검색 엔진 언어
+사전 한국어 형태소 분석 컴퓨터 전화 영화 음악 신문 도서관 병원
+은행 공원 도시 경제 문화 역사 과학 자연 환경 문제 방법 시스템
+데이터 있다 없다 하다 되다 가다 오다 보다 먹다 마시다 읽다 쓰다
+말하다 듣다 사다 팔다 만들다 사용 좋아 알다 모르다 생각 희망
+합니다 입니다 습니다 했다 하는 하고 해서 하면
+""".split()
+
+_LEXICONS = {
+    "ipadic": _JA_WORDS,
+    "unidic": _JA_WORDS,
+    "cc-cedict": _ZH_WORDS,
+    "ko-dic": _KO_WORDS,
+}
+
+# OOV fallback classes, applied after the lexicon branches (order matters).
+# Hiragana falls back per-CHARACTER so an unknown run can't swallow the
+# lexicon particles that follow it (ぴょこのです → ぴ ょ こ の です);
+# katakana runs stay whole (loanwords are one token).
+_KATAKANA = r"[゠-ヿㇰ-ㇿー]+"
+_HIRAGANA = r"[぀-ゟ]"
+_HAN_ONE = r"[㐀-䶿一-鿿豈-﫿々]"
+_HANGUL = r"[가-힯ᄀ-ᇿ]+"
+_WORD = (r"[^\W_　-〿぀-ゟ゠-ヿㇰ-ㇿ"
+         r"㐀-䶿一-鿿가-힯ᄀ-ᇿ"
+         r"豈-﫿]+")
+_HAN_CHAR_RE = re.compile(r"^(?:%s)+$" % _HAN_ONE)
+
+_PATTERN_CACHE: dict[str, re.Pattern] = {}
+_DECOMP_CACHE: dict[tuple[str, int], dict] = {}
+
+
+def _pattern(dict_type: str) -> re.Pattern:
+    pat = _PATTERN_CACHE.get(dict_type)
+    if pat is None:
+        words = _LEXICONS[dict_type]
+        alts = [re.escape(w) for w in
+                sorted(set(words), key=lambda w: (-len(w), w))]
+        alts += [_KATAKANA, _HIRAGANA, _HAN_ONE, _HANGUL, _WORD]
+        pat = re.compile("|".join(alts))
+        _PATTERN_CACHE[dict_type] = pat
+    return pat
+
+
+def _decompose_table(dict_type: str, threshold: int) -> dict[str, list[str]]:
+    """token → parts, for Han lexicon words longer than the threshold that
+    tile exactly into shorter lexicon words (greedy longest-first)."""
+    key = (dict_type, threshold)
+    table = _DECOMP_CACHE.get(key)
+    if table is not None:
+        return table
+    words = set(_LEXICONS[dict_type])
+    by_len = sorted(words, key=len, reverse=True)
+    table = {}
+    for w in by_len:
+        if len(w) <= threshold or not _HAN_CHAR_RE.match(w):
+            continue
+        parts, i = [], 0
+        while i < len(w):
+            for j in range(len(w), i, -1):
+                seg = w[i:j]
+                if seg != w and seg in words:
+                    parts.append(seg)
+                    i = j
+                    break
+            else:
+                parts = None
+                break
+        if parts and len(parts) >= 2:
+            table[w] = parts
+    _DECOMP_CACHE[key] = table
+    return table
+
+
+def _parse_mode(mode) -> tuple[bool, int]:
+    """Accept the reference's mode surface: 'normal' | 'decompose' |
+    {'decompose': {...penalties...}} (also as a JSON string, which is how
+    nested args survive the frozen Analyzer dataclass)."""
+    if isinstance(mode, str) and mode.startswith("{"):
+        mode = json.loads(mode)
+    if mode in (None, "normal"):
+        return False, 0
+    if mode == "decompose":
+        return True, 2
+    if isinstance(mode, dict) and "decompose" in mode:
+        params = mode["decompose"] or {}
+        return True, int(params.get("kanji_penalty_length_threshold", 2))
+    raise ValueError(f"lindera: unsupported mode {mode!r}")
+
+
+def tokenize_lindera(
+    s: pd.Series,
+    dict_type: str = "ipadic",
+    mode="normal",
+    offsets: bool = False,
+) -> pd.DataFrame:
+    if dict_type not in _LEXICONS:
+        raise ValueError(
+            f"lindera: unknown dict_type {dict_type!r} "
+            f"(expected one of {sorted(_LEXICONS)})"
+        )
+    decompose, threshold = _parse_mode(mode)
+    pat = _pattern(dict_type)
+    s = s.fillna("").astype(str).reset_index(drop=True)
+    if len(s) == 0:
+        from bayard_spark.analysis.tokenizers import _empty_frame
+
+        return _empty_frame(offsets)
+    if offsets:
+        return _offsets_path(s, pat, decompose, threshold, dict_type)
+    ex = s.str.findall(pat).explode().dropna()
+    frame = pd.DataFrame({"idx": ex.index.to_numpy(dtype="int64"),
+                          "token": ex.to_numpy()})
+    if decompose:
+        table = _decompose_table(dict_type, threshold)
+        if table:
+            mapped = frame["token"].map(lambda t: table.get(t))
+            hit = mapped.notna()
+            if hit.any():
+                frame = frame.assign(
+                    token=mapped.where(hit, frame["token"].map(lambda t: [t]))
+                ).explode("token", ignore_index=True)
+    frame["pos"] = frame.groupby("idx").cumcount()
+    return frame.reset_index(drop=True)
+
+
+def _offsets_path(s, pat, decompose, threshold, dict_type):
+    table = _decompose_table(dict_type, threshold) if decompose else {}
+    rows, toks, poss, starts, ends = [], [], [], [], []
+    for i, text in enumerate(s):
+        pos = 0
+        for m in pat.finditer(text):
+            pieces = table.get(m.group(), [m.group()])
+            a = m.start()
+            for p in pieces:
+                start_b = len(text[:a].encode("utf-8"))
+                end_b = start_b + len(p.encode("utf-8"))
+                rows.append(i)
+                toks.append(p)
+                poss.append(pos)
+                starts.append(start_b)
+                ends.append(end_b)
+                pos += 1
+                a += len(p)
+    return pd.DataFrame(
+        {"idx": pd.Series(rows, dtype="int64"),
+         "token": pd.Series(toks, dtype="object"),
+         "pos": pd.Series(poss, dtype="int64"),
+         "start": pd.Series(starts, dtype="int64"),
+         "end": pd.Series(ends, dtype="int64")}
+    )

@@ -218,10 +218,18 @@ def tokenize_facet(s: pd.Series, offsets: bool = False) -> pd.DataFrame:
     return frame
 
 
+def tokenize_lindera(s: pd.Series, **kw) -> pd.DataFrame:
+    """CJK segmentation (lindera config surface) — see analysis/cjk.py."""
+    from bayard_spark.analysis.cjk import tokenize_lindera as _impl
+
+    return _impl(s, **kw)
+
+
 TOKENIZERS = {
     "raw": tokenize_raw,
     "simple": tokenize_simple,
     "whitespace": tokenize_whitespace,
     "ngram": tokenize_ngram,
     "facet": tokenize_facet,
+    "lindera": tokenize_lindera,
 }

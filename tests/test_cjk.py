@@ -1,0 +1,159 @@
+"""CJK (lindera-slot) tokenizer tests.
+
+The reference tokenizes CJK with Lindera over ipadic/cc-cedict/ko-dic
+(bayard/src/index/tokenizer/lindera.rs, docs/analyzers.md:101-155); this
+repo ships a dictionary-light segmenter with the same config surface
+(bayard_spark/analysis/cjk.py). Goldens below are pinned outputs of OUR
+segmenter — the first six tokens of the Japanese sentence match the
+reference's own lindera test expectations (lindera.rs:72-107).
+"""
+
+import pandas as pd
+import pytest
+
+from bayard_spark.analysis.analyzer import build_analyzer
+from bayard_spark.analysis.cjk import tokenize_lindera
+
+JA_SENT = "日本語の形態素解析を行うことができます。"
+
+
+def toks(text, **kw):
+    return list(tokenize_lindera(pd.Series([text]), **kw)["token"])
+
+
+def test_japanese_reference_sentence():
+    # reference lindera.rs:72-107 asserts 日本語|の|形態素|解析|を|行う
+    got = toks(JA_SENT)
+    assert got == ["日本語", "の", "形態素", "解析", "を", "行う",
+                   "こと", "が", "できます"]
+    assert got[:6] == ["日本語", "の", "形態素", "解析", "を", "行う"]
+
+
+def test_japanese_offsets_are_utf8_bytes():
+    f = tokenize_lindera(pd.Series([JA_SENT]), offsets=True)
+    first = f.iloc[0]
+    assert (first["token"], first["start"], first["end"]) == ("日本語", 0, 9)
+    second = f.iloc[1]
+    assert (second["token"], second["start"], second["end"]) == ("の", 9, 12)
+
+
+def test_decompose_mode_splits_compounds():
+    normal = toks("関西国際空港に行く")
+    deco = toks("関西国際空港に行く",
+                mode={"decompose": {"kanji_penalty_length_threshold": 2,
+                                    "kanji_penalty_length_penalty": 3000,
+                                    "other_penalty_length_threshold": 7,
+                                    "other_penalty_length_penalty": 1700}})
+    assert normal[0] == "関西国際空港"
+    assert deco[:3] == ["関西", "国際", "空港"]
+
+
+def test_chinese_and_korean_dicts():
+    assert toks("我们在北京大学学习中文分词", dict_type="cc-cedict") == \
+        ["我们", "在", "北京", "大学", "学习", "中文", "分词"]
+    assert toks("한국어 형태소 분석을 합니다", dict_type="ko-dic") == \
+        ["한국어", "형태소", "분석", "을", "합니다"]
+
+
+def test_oov_fallbacks():
+    # unknown Han chars come out as unigrams (recall-preserving)
+    assert toks("鑫森淼") == ["鑫", "森", "淼"]
+    # katakana runs stay whole; latin/digit runs like `simple`
+    assert toks("コンピューターabc123") == ["コンピューター", "abc123"]
+    # unknown hiragana per-char so particles still separate
+    assert toks("ぴょが") == ["ぴ", "ょ", "が"]
+
+
+def test_mixed_scripts_and_empties():
+    f = tokenize_lindera(pd.Series(["", None, "mixed と日本語"]))
+    assert list(zip(f["idx"], f["token"])) == [
+        (2, "mixed"), (2, "と"), (2, "日本語")]
+    empty = tokenize_lindera(pd.Series([], dtype="object"))
+    assert list(empty.columns) == ["idx", "token", "pos"]
+
+
+def test_unknown_dict_type_errors():
+    with pytest.raises(ValueError, match="dict_type"):
+        toks("x", dict_type="nope")
+
+
+def test_analyzer_config_surface():
+    # docs/analyzers.md:101-155 JSON shapes are accepted verbatim
+    an = build_analyzer("ja", {
+        "tokenizer": {"name": "lindera",
+                      "args": {"dict_type": "ipadic", "mode": "normal"}},
+        "filters": [],
+    })
+    assert an.analyze_one(JA_SENT)[:6] == \
+        ["日本語", "の", "形態素", "解析", "を", "行う"]
+    an2 = build_analyzer("ja2", {
+        "tokenizer": {"name": "lindera", "args": {
+            "dict_type": "ipadic",
+            "mode": {"decompose": {"kanji_penalty_length_threshold": 2,
+                                   "kanji_penalty_length_penalty": 3000,
+                                   "other_penalty_length_threshold": 7,
+                                   "other_penalty_length_penalty": 1700}}}},
+        "filters": [],
+    })
+    assert an2.analyze_one("関西国際空港")[:3] == ["関西", "国際", "空港"]
+    # the compiled analyzer must stay hashable/picklable for executors
+    import pickle
+
+    hash(an2)
+    pickle.loads(pickle.dumps(an2))
+
+
+def test_cjk_rank_identity(spark, tmp_path):
+    """Postings + BM25 over a CJK fixture: engine top-k (ids AND scores)
+    == oracle, through a lindera-analyzed index."""
+    import math
+
+    from bayard_spark.build.indexer import IndexBuilder
+    from bayard_spark.oracle import OracleIndex
+    from bayard_spark.query import SearchEngine
+    from bayard_spark.schema import webtext_index_meta
+
+    meta = webtext_index_meta("cjk_ix")
+    meta.analyzers = {"default": {
+        "tokenizer": {"name": "lindera",
+                      "args": {"dict_type": "ipadic", "mode": "normal"}}}}
+    rows = pd.DataFrame({
+        "url": [f"u{i}" for i in range(6)],
+        "warc_ts": pd.to_datetime(["2024-01-01"] * 6),
+        "html": [""] * 6,
+        "text": [
+            "日本語の形態素解析を行うことができます",
+            "東京大学で日本語を学ぶ",
+            "関西国際空港に行く",
+            "検索エンジンの開発",
+            "日本語と中国語の辞書",
+            "音楽を聞くことが好き",
+        ],
+        "lang": ["ja"] * 6,
+    })
+    root = str(tmp_path / "cjk_ix")
+    builder = IndexBuilder(spark, meta, root)
+    builder.build(spark.createDataFrame(rows))
+    eng = SearchEngine(spark, root)
+    ora = OracleIndex(
+        analyzers=eng.analyzers,
+        field_analyzers={"url": "raw", "text": "default", "lang": "raw"},
+    )
+    ids = {
+        r["url"]: r["doc_id"]
+        for r in spark.read.parquet(builder.paths.docs)
+        .select("url", "doc_id").collect()
+    }
+    for _, r in rows.iterrows():
+        ora.add(ids[r["url"]],
+                {"url": r["url"], "text": r["text"], "lang": r["lang"]})
+    for term in ["日本語", "こと", "東京大学", "解析"]:
+        q = {"kind": "term", "options": {"field": "text", "term": term}}
+        expected = ora.top_k(q, k=10)
+        got = sorted(
+            [(r["doc_id"], r["score"]) for r in eng.scores(q).collect()],
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:10]
+        assert [d for d, _ in got] == [d for d, _ in expected], term
+        for (gd, gs), (_, es) in zip(got, expected):
+            assert math.isclose(gs, es, rel_tol=1e-9, abs_tol=1e-12)
