@@ -44,6 +44,7 @@ from bayard_spark.analysis.snowball.portuguese import (
     portuguese,
 )
 from bayard_spark.analysis.snowball.turkish import turkish
+from bayard_spark.analysis.snowball.arabic import arabic
 from bayard_spark.analysis.snowball.russian import (
     _ADJECTIVE,
     _NOUN,
@@ -148,4 +149,5 @@ STEMMERS = {
     "finnish": finnish,
     "hungarian": hungarian,
     "turkish": turkish,
+    "arabic": arabic,
 }
