@@ -1,9 +1,12 @@
-"""Pure-Python Snowball stemmer registry (17 languages + English Porter2).
+"""Pure-Python Snowball stemmer registry (15 languages + English Porter2).
 
 Mirrors the language set the reference's stemming filter accepts
 (bayard/src/index/token_filter/stemming.rs:249-265; docs/analyzers.md:229).
 Each is a hand port of the public Snowball algorithm description, validated
-against PostgreSQL's dict_snowball golden pairs (tests/data/snowball/).
+at 100% agreement against PostgreSQL's stopword-free snowball dictionaries
+(tests/data/snowball/ golden pairs). greek and tamil remain gated below
+that bar (greek's exception tables and tamil's sandhi rules are not yet
+fitted); filter_stemming raises a clear NotImplementedError for them.
 """
 
 from __future__ import annotations
