@@ -788,15 +788,28 @@ class SearchEngine:
                 top.offset(offset).limit(hits) if offset
                 else top.limit(hits)
             )
+            # Collect the ≤hits winners (TakeOrderedAndProject over the
+            # slim frame), then fetch their stored fields with a doc_id
+            # point-lookup — the IN filter pushes into the doc-store
+            # parquet scan, so non-winning docs are never read for their
+            # stored columns and no join stage is added to the query plan.
+            win_rows = winners.collect()
             present = set(winners.columns)
             stored_cols = [
                 c for c in dict.fromkeys(["url", "warc_ts", *fields])
                 if c not in present
             ]
-            stored = self.docs.select("doc_id", *stored_cols)
-            rows = winners.join(stored, "doc_id").orderBy(*order).collect()
-            for r in rows:
-                d = r.asDict()
+            if stored_cols and win_rows:
+                ids = [r["doc_id"] for r in win_rows]
+                fetched = {
+                    r["doc_id"]: r.asDict()
+                    for r in self.docs.select("doc_id", *stored_cols)
+                    .filter(F.col("doc_id").isin(ids)).collect()
+                }
+            else:
+                fetched = {}
+            for r in win_rows:
+                d = {**r.asDict(), **fetched.get(r["doc_id"], {})}
                 ts = d.get("warc_ts")
                 # response shape per docs/rest_api/search_api.md: score is 0
                 # under a field sort, sort_value is 0 under a score sort, and
