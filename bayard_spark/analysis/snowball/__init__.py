@@ -1,12 +1,13 @@
-"""Pure-Python Snowball stemmer registry (15 languages + English Porter2).
+"""Pure-Python Snowball stemmer registry (16 languages + English Porter2).
 
 Mirrors the language set the reference's stemming filter accepts
 (bayard/src/index/token_filter/stemming.rs:249-265; docs/analyzers.md:229).
 Each is a hand port of the public Snowball algorithm description, validated
 at 100% agreement against PostgreSQL's stopword-free snowball dictionaries
-(tests/data/snowball/ golden pairs). greek and tamil remain gated below
-that bar (greek's exception tables and tamil's sandhi rules are not yet
-fitted); filter_stemming raises a clear NotImplementedError for them.
+(tests/data/snowball/ golden pairs). Only tamil remains gated below that
+bar (its sandhi letter-count rules are partially fitted — see
+snowball/tamil.py); filter_stemming raises a clear NotImplementedError
+for it.
 """
 
 from __future__ import annotations
@@ -48,6 +49,7 @@ from bayard_spark.analysis.snowball.portuguese import (
 )
 from bayard_spark.analysis.snowball.turkish import turkish
 from bayard_spark.analysis.snowball.arabic import arabic
+from bayard_spark.analysis.snowball.greek import greek
 from bayard_spark.analysis.snowball.russian import (
     _ADJECTIVE,
     _NOUN,
@@ -153,4 +155,5 @@ STEMMERS = {
     "hungarian": hungarian,
     "turkish": turkish,
     "arabic": arabic,
+    "greek": greek,
 }
