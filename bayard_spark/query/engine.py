@@ -65,6 +65,13 @@ class SearchEngine:
     # vocabularies), planning falls back to batched metadata-only lookups
     # with per-engine caching — still one small job per novel term set.
     MAX_DICT_TERMS = 2_000_000
+    # Broadcast-join gates for intersection chains: when the accumulated
+    # (rarest-first) side's exact df bound fits comfortably in a broadcast,
+    # the wider clause streams through a broadcast-hash join instead of
+    # shuffling both decoded sides. Score rows are 16 B (≤ ~8 MB at the
+    # cap); position rows carry int arrays, so their gate sits lower.
+    BROADCAST_DOCS_MAX = 500_000
+    BROADCAST_POSITIONS_MAX = 100_000
     # Above this many preloaded dictionary entries, fuzzy/regex expansion
     # routes to the DISTRIBUTED path even when the dict is driver-resident:
     # a Python loop over millions of cached terms costs seconds of driver
@@ -107,6 +114,16 @@ class SearchEngine:
         }
         self._bucket_cache: dict[str, int] = {}
         self._df_cache: dict[tuple[str, str], int] = {}
+        # Prepared-plan cache for decoded LEAF frames (scan→decode→score),
+        # keyed per (field, term, positions?, pruned?). These plans are
+        # NARROW (no shuffle boundary), so re-collecting a cached frame
+        # re-executes the scan+decode in full — only the driver-side plan
+        # construction (py4j + Catalyst analysis, ~100 ms/query measured)
+        # is amortized, the way a search server keeps prepared readers
+        # open over an immutable index snapshot. Compositions that contain
+        # shuffles (boolean joins, should-aggs) are rebuilt per call so no
+        # shuffle-stage output is ever silently reused as a cached result.
+        self._leaf_cache: dict[tuple, DataFrame] = {}
         self._dict_complete = False
         self.k1 = self.meta.bm25_k1
         self.b = self.meta.bm25_b
@@ -265,7 +282,6 @@ class SearchEngine:
             return self._empty_scores()
         idf = self.idf(fld, df_count)
         avg = self.stats[fld]["avg_len"]
-        blocks = self._leaf_blocks(fld, term)
         # block-max pruning pays one extra metadata job for τ — only worth
         # it when there are enough blocks to prune (short posting lists
         # decode faster than the τ job runs). Pruning is DISABLED whenever
@@ -275,19 +291,26 @@ class SearchEngine:
         # ... and disabled under lossy fieldnorms: quantized lengths can only
         # RAISE scores above the raw-metadata upper bound, so τ from raw
         # min/max_len columns would prune true hits.
-        if (
+        pruned = (
             topk_prune is not None
             and topk_prune <= self.meta.block_size
             and df_count > 8 * self.meta.block_size
             and self.tombstones is None
             and not self.meta.lossy_fieldnorms
-        ):
-            blocks = self._prune_blocks(blocks, idf, avg)
-        return (
-            self._decode(blocks, want_positions=False)
-            .withColumn("score", self._score_expr(idf, avg))
-            .select("doc_id", "score")
         )
+        key = ("term", fld, term, pruned)
+        cached = self._leaf_cache.get(key)
+        if cached is None:
+            blocks = self._leaf_blocks(fld, term)
+            if pruned:
+                blocks = self._prune_blocks(blocks, idf, avg)
+            cached = (
+                self._decode(blocks, want_positions=False)
+                .withColumn("score", self._score_expr(idf, avg))
+                .select("doc_id", "score")
+            )
+            self._leaf_cache[key] = cached
+        return cached
 
     def _prune_blocks(self, blocks: DataFrame, idf: float, avg: float) -> DataFrame:
         """Metadata-only block-max pruning for top-k ≤ block_size.
@@ -307,18 +330,23 @@ class SearchEngine:
             )
             return F.lit(idf) * (tf * F.lit(k1 + 1.0)) / denom
 
-        meta_cols = blocks.withColumn("_ub", bound("max_tf", "min_len")).withColumn(
-            "_lb", bound("min_tf", "max_len")
+        # τ rides the SAME plan as the decode: the full-blocks lower-bound
+        # max becomes a 1-row broadcast joined onto the block stream, so no
+        # synchronous driver collect happens per query (the old tau collect
+        # added a sequential ~0.15 s job to every pruned term query at
+        # bench scale). The τ branch reads only the metadata columns
+        # (column pruning keeps the payload bytes out of that scan).
+        meta_cols = blocks.withColumn("_ub", bound("max_tf", "min_len"))
+        tau_df = (
+            blocks.withColumn("_lb", bound("min_tf", "max_len"))
+            .filter(F.col("n_docs") == self.meta.block_size)
+            .agg(F.max("_lb").alias("_tau"))
         )
-        tau_row = (
-            meta_cols.filter(F.col("n_docs") == self.meta.block_size)
-            .agg(F.max("_lb").alias("tau"))
-            .collect()[0]
+        return (
+            meta_cols.join(F.broadcast(tau_df))
+            .filter(F.col("_tau").isNull() | (F.col("_ub") >= F.col("_tau")))
+            .drop("_ub", "_tau")
         )
-        tau = tau_row["tau"]
-        if tau is None:
-            return blocks
-        return meta_cols.filter(F.col("_ub") >= F.lit(tau)).drop("_ub", "_lb")
 
     def _phrase_scores(
         self, fld: str, phrase_terms: list[str], slop: int = 0
@@ -346,14 +374,27 @@ class SearchEngine:
         order_terms = sorted(uniq, key=lambda t: df_map[t])
         joined = None
         for j, t in enumerate(order_terms):
-            f_t = self._decode(
-                self._leaf_blocks(fld, t), want_positions=True
-            ).select(
+            key = ("pos", fld, t)
+            base_t = self._leaf_cache.get(key)
+            if base_t is None:
+                base_t = self._decode(
+                    self._leaf_blocks(fld, t), want_positions=True
+                ).select("doc_id", "positions", "len")
+                self._leaf_cache[key] = base_t
+            f_t = base_t.select(
                 "doc_id",
                 F.col("positions").alias(name_of[t]),
                 *([F.col("len")] if j == 0 else []),
             )
-            joined = f_t if joined is None else joined.join(f_t, "doc_id")
+            if joined is None:
+                joined = f_t
+            elif df_map[order_terms[0]] <= self.BROADCAST_POSITIONS_MAX:
+                # accumulated side ≤ rarest term's df rows; position arrays
+                # make rows fatter than plain scores, so the broadcast gate
+                # sits lower — beyond it, shuffle-join as before
+                joined = f_t.join(F.broadcast(joined), "doc_id")
+            else:
+                joined = joined.join(f_t, "doc_id")
         # duplicate terms in the phrase reuse the same positions column
         pos_cols = [name_of[t] for t in phrase_terms]
 
@@ -548,32 +589,36 @@ class SearchEngine:
         if len(terms) == 1:
             return self._term_scores(fld, terms[0], df_count=term_dfs[terms[0]])
         avg = self.stats[fld]["avg_len"]
-        buckets = self._buckets(terms)
-        blocks = self.postings.filter(
-            (F.col("field") == fld)
-            & F.col("bucket").isin(sorted(set(buckets.values())))
-            & F.col("term").isin(terms)
-        )
-        decoded = self._decode(blocks, want_positions=False)
-        if len(terms) <= 64:
-            # small neighborhoods: per-term idf as a codegen CASE chain —
-            # no extra DataFrame, no broadcast exchange
-            idf_col = F.lit(None).cast("double")
-            for t in terms:
-                idf_col = F.when(
-                    F.col("term") == t, F.lit(self.idf(fld, term_dfs[t]))
-                ).otherwise(idf_col)
-            scored = decoded.withColumn(
-                "score", self._score_expr(idf_col, avg)
+        key = ("multi", fld, tuple(terms))
+        scored = self._leaf_cache.get(key)
+        if scored is None:
+            buckets = self._buckets(terms)
+            blocks = self.postings.filter(
+                (F.col("field") == fld)
+                & F.col("bucket").isin(sorted(set(buckets.values())))
+                & F.col("term").isin(terms)
             )
-        else:
-            idf_map = self.spark.createDataFrame(
-                [(t, self.idf(fld, term_dfs[t])) for t in terms],
-                "term string, _idf double",
-            )
-            scored = decoded.join(F.broadcast(idf_map), "term").withColumn(
-                "score", self._score_expr(F.col("_idf"), avg)
-            )
+            decoded = self._decode(blocks, want_positions=False)
+            if len(terms) <= 64:
+                # small neighborhoods: per-term idf as a codegen CASE chain
+                # — no extra DataFrame, no broadcast exchange
+                idf_col = F.lit(None).cast("double")
+                for t in terms:
+                    idf_col = F.when(
+                        F.col("term") == t, F.lit(self.idf(fld, term_dfs[t]))
+                    ).otherwise(idf_col)
+                scored = decoded.withColumn(
+                    "score", self._score_expr(idf_col, avg)
+                )
+            else:
+                idf_map = self.spark.createDataFrame(
+                    [(t, self.idf(fld, term_dfs[t])) for t in terms],
+                    "term string, _idf double",
+                )
+                scored = decoded.join(F.broadcast(idf_map), "term").withColumn(
+                    "score", self._score_expr(F.col("_idf"), avg)
+                )
+            self._leaf_cache[key] = scored
         return scored.groupBy("doc_id").agg(F.sum("score").alias("score"))
 
     def _empty_scores(self) -> DataFrame:
@@ -685,10 +730,22 @@ class SearchEngine:
                 key=lambda j: self._df_estimate(musts[j][1]),
             )
             base = None
+            est = 1 << 62
             for j in join_order:
                 _, q = musts[j]
                 m = self.scores(q).withColumnRenamed("score", f"_m{j}")
-                base = m if base is None else base.join(m, "doc_id")
+                if base is None:
+                    base = m
+                elif est <= self.BROADCAST_DOCS_MAX:
+                    # the accumulated side is bounded by the rarest clause's
+                    # exact df (block metadata) — broadcast it so the wider
+                    # clause STREAMS through a broadcast-hash join instead
+                    # of shuffling both decoded sides (at 16 B/row the cap
+                    # is ~8 MB, safely broadcastable; web-scale dfs skip)
+                    base = m.join(F.broadcast(base), "doc_id")
+                else:
+                    base = base.join(m, "doc_id")
+                est = min(est, self._df_estimate(q))
             score = reduce(
                 lambda a, b: a + b, [F.col(f"_m{j}") for j in range(len(musts))]
             )
@@ -750,6 +807,12 @@ class SearchEngine:
             if persisted:
                 scores.unpersist()
 
+    # Point-lookup id-list size above which the stored-field fetch switches
+    # from an IN-list filter to a broadcast semi-join: a deep-pagination or
+    # huge-hits request would otherwise inflate the pushed predicate (and
+    # the filter expression tree) linearly with the id count.
+    ISIN_LOOKUP_MAX = 2048
+
     def _collect_response(
         self, scores, want_count, want_docs, sort, fields, hits, offset
     ) -> SearchResponse:
@@ -758,11 +821,18 @@ class SearchEngine:
             total = scores.count()
         documents = []
         if want_docs:
-            # Top-k FIRST on the slimmest possible frame (doc_id + score
-            # [+ sort fast field]), THEN join the stored fields onto the k
-            # winners only — the TakeOrderedAndProject never shuffles url /
-            # warc_ts / requested stored columns for non-winning docs. The
-            # tiny re-sort after the join runs over ≤ hits rows.
+            # The NARROW response columns (url, warc_ts, and the sort fast
+            # field when sorting) ride the slim frame THROUGH
+            # TakeOrderedAndProject: the whole top-docs branch is ONE Spark
+            # job. Round 2 joined stored fields onto the post-limit winners
+            # (a join stage after the barrier); round 3 collected the slim
+            # winners and ran a SECOND point-lookup job — both measured
+            # slower on the driver bench than carrying the two fixed-width
+            # columns through the top-k (they cost ~nothing per shuffled
+            # candidate, and the docs side is a broadcast-size projection).
+            # WIDE user-requested stored fields (`fields`, e.g. full text)
+            # still fetch by doc_id point-lookup over the ≤k winners only,
+            # so fat columns never ride the candidate-set shuffle.
             if sort:
                 sfield = sort["field"]
                 sdef = self.meta.field_def(sfield)
@@ -770,9 +840,6 @@ class SearchEngine:
                     raise ValueError(
                         f"field {sfield!r} is not a fast field"
                     )  # node.rs:1312-1331
-                slim = scores.join(
-                    self.docs.select("doc_id", sfield), "doc_id"
-                )
                 order = (
                     [F.col(sfield).asc(), F.col("doc_id").asc()]
                     if sort.get("order", "asc") == "asc"
@@ -780,32 +847,32 @@ class SearchEngine:
                 )
                 sort_col = sfield
             else:
-                slim = scores
                 order = [F.desc("score"), F.asc("doc_id")]
                 sort_col = None
+            carry = [
+                c
+                for c in dict.fromkeys(
+                    ["url", "warc_ts"] + ([sort_col] if sort_col else [])
+                )
+                if c not in scores.columns
+            ]
+            slim = (
+                scores.join(self.docs.select("doc_id", *carry), "doc_id")
+                if carry
+                else scores
+            )
             top = slim.orderBy(*order)
             winners = (
                 top.offset(offset).limit(hits) if offset
                 else top.limit(hits)
             )
-            # Collect the ≤hits winners (TakeOrderedAndProject over the
-            # slim frame), then fetch their stored fields with a doc_id
-            # point-lookup — the IN filter pushes into the doc-store
-            # parquet scan, so non-winning docs are never read for their
-            # stored columns and no join stage is added to the query plan.
             win_rows = winners.collect()
             present = set(winners.columns)
-            stored_cols = [
-                c for c in dict.fromkeys(["url", "warc_ts", *fields])
-                if c not in present
-            ]
+            stored_cols = [c for c in fields if c not in present]
             if stored_cols and win_rows:
-                ids = [r["doc_id"] for r in win_rows]
-                fetched = {
-                    r["doc_id"]: r.asDict()
-                    for r in self.docs.select("doc_id", *stored_cols)
-                    .filter(F.col("doc_id").isin(ids)).collect()
-                }
+                fetched = self._fetch_stored(
+                    [r["doc_id"] for r in win_rows], stored_cols
+                )
             else:
                 fetched = {}
             for r in win_rows:
@@ -826,3 +893,21 @@ class SearchEngine:
                     }
                 )
         return SearchResponse(total_hits=total, documents=documents)
+
+    def _fetch_stored(self, ids: list[int], cols: list[str]) -> dict:
+        """Stored-field fetch for the winner ids.
+
+        Small id lists (the common top-k case) push an IN filter into the
+        doc-store parquet scan — non-winning docs are never read for their
+        stored columns. Large id lists (deep pagination / huge hits) would
+        inflate the IN predicate linearly, so they switch to a broadcast
+        semi-join of the ids against the doc store instead."""
+        proj = self.docs.select("doc_id", *cols)
+        if len(ids) <= self.ISIN_LOOKUP_MAX:
+            rows = proj.filter(F.col("doc_id").isin(ids)).collect()
+        else:
+            id_df = self.spark.createDataFrame(
+                [(int(i),) for i in ids], "doc_id long"
+            )
+            rows = proj.join(F.broadcast(id_df), "doc_id").collect()
+        return {r["doc_id"]: r.asDict() for r in rows}

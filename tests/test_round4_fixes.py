@@ -1,0 +1,112 @@
+"""Regression tests for the round-4 performance fixes (VERDICT r3).
+
+1. The top-docs response path runs a SINGLE Spark action when no stored
+   fields are requested: url/warc_ts ride the slim frame through
+   TakeOrderedAndProject, and the second point-lookup action (the r3 change
+   that cost +28% p50 on the driver bench) never fires. AQE may split one
+   action into several jobs (broadcast stages), so the test pins the code
+   path — no `_fetch_stored` call — rather than a job count.
+2. Requested stored fields still fetch via a bounded doc_id point-lookup
+   over the <=k winners only, and only for the columns not already carried.
+3. Large winner id-lists switch from an IN-list pushdown to a broadcast
+   semi-join (ADVICE r3: deep pagination inflates the IN predicate).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture()
+def spy_fetch(built, monkeypatch):
+    engine, _ = built
+    calls: list[tuple[list, list]] = []
+    real = engine._fetch_stored
+
+    def spy(ids, cols):
+        calls.append((list(ids), list(cols)))
+        return real(ids, cols)
+
+    monkeypatch.setattr(engine, "_fetch_stored", spy)
+    return engine, calls
+
+
+def test_top_docs_single_action_without_fields(built, spy_fetch):
+    engine, calls = spy_fetch
+    _, oracle = built
+    resp = engine.search(
+        {
+            "query": {
+                "kind": "term", "options": {"field": "text", "term": "water"}
+            },
+            "collection_kind": "top_docs",
+            "hits": 10,
+        }
+    )
+    assert calls == [], "no-fields search must not run a point-lookup action"
+    # response still complete: url + timestamp come from the carried columns
+    assert resp.documents, "query should match documents"
+    for d in resp.documents:
+        assert d["id"].startswith("http")
+        assert isinstance(d["timestamp"], int) and d["timestamp"] > 0
+    # and rank-identical to the oracle
+    ranked = oracle.top_k(
+        {"kind": "term", "options": {"field": "text", "term": "water"}}, 10
+    )
+    got_urls = [d["id"] for d in resp.documents]
+    want_urls = [oracle.docs[i]["url"] for i, _score in ranked]
+    assert got_urls == want_urls
+
+
+def test_stored_fields_fetch_is_bounded_point_lookup(built, spy_fetch):
+    engine, calls = spy_fetch
+    resp = engine.search(
+        {
+            "query": {
+                "kind": "term", "options": {"field": "text", "term": "water"}
+            },
+            "collection_kind": "top_docs",
+            "hits": 5,
+            "fields": ["lang", "url"],
+        }
+    )
+    # exactly one lookup, winners only, and only the NOT-carried column
+    assert len(calls) == 1
+    ids, cols = calls[0]
+    assert len(ids) <= 5
+    assert cols == ["lang"], "url is carried in the slim frame, not re-fetched"
+    for d in resp.documents:
+        assert d["fields"]["lang"] in ("en", "de", "fr", "es", "ja", "pt", "it")
+        assert d["fields"]["url"] == d["id"]
+
+
+def test_large_id_list_uses_broadcast_semi_join(built):
+    engine, _ = built
+    all_ids = [r["doc_id"] for r in engine.docs.select("doc_id").collect()]
+    engine.ISIN_LOOKUP_MAX = 16  # force the join path on this instance
+    try:
+        fetched = engine._fetch_stored(all_ids, ["lang", "url"])
+    finally:
+        del engine.ISIN_LOOKUP_MAX
+    assert set(fetched) == set(all_ids)
+    sample = fetched[all_ids[0]]
+    assert set(sample) == {"doc_id", "lang", "url"}
+
+
+def test_sort_path_single_action_and_shape(built, spy_fetch):
+    engine, calls = spy_fetch
+    resp = engine.search(
+        {
+            "query": {
+                "kind": "term", "options": {"field": "text", "term": "water"}
+            },
+            "collection_kind": "top_docs",
+            "hits": 5,
+            "sort": {"field": "warc_ts", "order": "desc"},
+        }
+    )
+    assert calls == [], "sorted no-fields search must not run a point-lookup"
+    ts = [d["timestamp"] for d in resp.documents]
+    assert ts == sorted(ts, reverse=True)
+    for d in resp.documents:
+        assert d["score"] == 0.0 and d["sort_value"] is not None
