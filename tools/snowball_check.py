@@ -41,7 +41,7 @@ PROBE_ALPHABET = {
     "turkish": "aeiıuünkdlmsy",
     "arabic": "اتيونهمك",
     "greek": "αειουσντμ",
-    "tamil": "",
+    "tamil": "களனுமைதி",  # no bare pulli: ்-clusters are not suffix material
 }
 STEMS = {
     "danish": ["kontor", "spis", "læs", "hurtig", "klog", "ven"],
@@ -73,12 +73,21 @@ def _ensure_nostop(lang: str) -> None:
     which is NOT stemmer behavior — rust-stemmers has no stopwords."""
     if lang in _NOSTOP_READY:
         return
-    subprocess.run(
+    r = subprocess.run(
         ["psql", "-h", "/tmp", "-U", "postgres", "-tA"],
         input=("CREATE TEXT SEARCH DICTIONARY {l}_nostop "
                "(TEMPLATE=snowball, Language={l});".format(l=lang)),
         capture_output=True, text=True,
-    )  # ignore "already exists"
+    )
+    # only the duplicate-dictionary case is benign; a dead server or a bad
+    # language name must fail HERE, not as a confusing missing-dictionary
+    # error on the later ts_lexize (ADVICE r3)
+    if r.returncode != 0 and "already exists" not in r.stderr:
+        raise RuntimeError(
+            f"could not create {lang}_nostop dictionary: {r.stderr.strip()!r}"
+            " — is the postgres oracle running? See this file's docstring"
+            " for server setup."
+        )
     _NOSTOP_READY.add(lang)
 
 
