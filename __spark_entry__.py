@@ -228,6 +228,85 @@ def q_count_collector(spark, sf_dir):
     )
 
 
+# ------------------------------------------- block-codec engine gates
+# These two entries run the REAL engine end-to-end: IndexBuilder writes
+# delta+varint posting blocks (build/codec.py) to a temp dir, SearchEngine
+# decodes them (query/engine.py _decode) and answers BM25 top-k — so the
+# driver's DuckDB oracle exercises the codec path, not just the
+# plans/relational.py twins (VERDICT r3 "Next round" #3). The index build
+# is cached per sf_dir within the process so the two gates share one build.
+
+_ENGINE_GATE_CACHE: dict[str, str] = {}
+
+
+def _engine_index(spark, sf_dir: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    root = _ENGINE_GATE_CACHE.get(sf_dir)
+    if root is not None:
+        return root
+    from bayard_spark.build.indexer import IndexBuilder
+    from bayard_spark.schema import webtext_index_meta
+
+    docs = _docs(spark, sf_dir)
+    src = docs.select(
+        F.concat(F.lit("https://example.com/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+         + F.make_interval(secs=F.col("doc_id"))).alias("warc_ts"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    root = tempfile.mkdtemp(prefix="gate_engine_idx_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    meta = webtext_index_meta(num_buckets=8, num_waves=1)
+    IndexBuilder(spark, meta, root).build(src, resume=False)
+    _ENGINE_GATE_CACHE[sf_dir] = root
+    return root
+
+
+def _engine_search_df(spark, sf_dir: str, query: dict) -> DataFrame:
+    from bayard_spark.query import SearchEngine
+
+    root = _engine_index(spark, sf_dir)
+    engine = SearchEngine(spark, root)
+    resp = engine.search(
+        {"query": query, "collection_kind": "top_docs", "hits": 10}
+    )
+    rows = [
+        (int(d["id"].rsplit("/", 1)[1]), round(float(d["score"]), 6))
+        for d in resp.documents
+    ]
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
+def q_engine_term_bm25(spark, sf_dir):
+    """BM25 top-10 for 'spark' answered by the block-codec SearchEngine
+    (posting-block scan -> numpy varint decode -> JVM scoring ->
+    TakeOrderedAndProject), built from the same documents table the
+    DuckDB oracle sees. Reference: tantivy block postings decode;
+    bayard/src/search/query/term.rs."""
+    return _engine_search_df(
+        spark, sf_dir,
+        {"kind": "term", "options": {"field": "text", "term": "spark"}},
+    )
+
+
+def q_engine_phrase_bm25(spark, sf_dir):
+    """Positions-recorded phrase query ("hash join", slop 0) through the
+    codec engine: per-term position arrays decode from pos_bytes blocks
+    and the vectorized adjacency sweep verifies matches
+    (bayard/src/search/query/phrase.rs:13-33)."""
+    return _engine_search_df(
+        spark, sf_dir,
+        {"kind": "phrase",
+         "options": {"field": "text", "phrase_terms": ["hash", "join"],
+                     "slop": 0}},
+    )
+
+
 # ------------------------------------------------------- index-build aggs
 
 
@@ -638,6 +717,8 @@ def _term_cte(n: int, term: str) -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "term_bm25": q_term_bm25,
+        "engine_term_bm25": q_engine_term_bm25,
+        "engine_phrase_bm25": q_engine_phrase_bm25,
         "phrase_bm25": q_phrase_bm25,
         "bool_must": q_bool_must,
         "bool_should": q_bool_should,
@@ -675,8 +756,12 @@ def oracle_sql() -> dict[str, str]:
     sqls: dict[str, str] = {}
 
     sqls["term_bm25"] = _term_sql("spark")
+    # the codec-engine gates answer the SAME queries as their relational
+    # twins — identical oracle SQL, but the Spark side executed
+    # build/codec.py + query/engine.py decode
+    sqls["engine_term_bm25"] = _term_sql("spark")
 
-    sqls["phrase_bm25"] = f"""
+    sqls["engine_phrase_bm25"] = sqls["phrase_bm25"] = f"""
 {_PRELUDE},
 t1 AS (SELECT doc_id, pos FROM tok WHERE term = 'hash'),
 t2 AS (SELECT doc_id, pos - 1 AS pos FROM tok WHERE term = 'join'),

@@ -86,6 +86,7 @@ class SegmentWriter:
         self._staged_segments: list[str] = []
         self._staged_tombstones: list[str] = []
         self._reserved_next: int | None = None
+        self._reserved_base: int | None = None
         self.bulk_id_threshold = (
             self.BULK_ID_THRESHOLD if bulk_id_threshold is None
             else int(bulk_id_threshold)
@@ -102,18 +103,46 @@ class SegmentWriter:
         """High-water doc_id — ids are never reused.
 
         Served from the commit log's persisted `next_doc_id` (one JSON
-        read, zero Spark jobs); the max-over-every-segment scan below runs
-        only ONCE per index lifetime, to migrate indexes built before the
-        field existed. Within a writer the reservation advances locally as
-        puts stage ids, so consecutive puts don't re-read the log."""
+        read, zero Spark jobs), maxed against the reservation markers of
+        any STAGED-but-uncommitted segments on disk: a second interleaved
+        writer advances its reservations via tiny `_reserved.json` files
+        before it commits, so two writers never hand out the same range
+        (ADVICE r4 — the old committed-only read reintroduced the
+        collision the original dir scan prevented). The max-over-every-
+        segment Spark scan below runs only ONCE per index lifetime, to
+        migrate indexes built before the field existed. Within a writer
+        the reservation advances locally as puts stage ids, so
+        consecutive puts don't re-read the log."""
         if self._reserved_next is not None:
             return self._reserved_next
         state = self.log.read()
         nd = state.get("next_doc_id")
         if nd is None:
             nd = self._scan_max_doc_id() + 1
+        nd = max(int(nd), self._staged_reservation_high())
         self._reserved_next = int(nd)
+        self._reserved_base = int(nd)
         return self._reserved_next
+
+    def _staged_reservation_high(self) -> int:
+        """Max reserved id bound over segment dirs not yet in the commit
+        log (other writers' staged work). Marker reads are tiny JSON
+        files — no Spark jobs."""
+        seg_root = self.io.path("segments")
+        committed = set(self.log.read()["segments"])
+        high = 0
+        for seg in self.io.listdir(seg_root):
+            if seg in committed:
+                continue
+            marker = posixpath.join(seg_root, seg, "_reserved.json")
+            if self.io.exists(marker):
+                try:
+                    high = max(
+                        high, int(json.loads(self.io.read_text(marker))["next"])
+                    )
+                except (ValueError, KeyError, json.JSONDecodeError):
+                    continue
+        return high
 
     def _scan_max_doc_id(self) -> int:
         # legacy migration path: max over base + all segment docs including
@@ -173,6 +202,15 @@ class SegmentWriter:
                 "doc_id", F.lit(base) + F.row_number().over(w) - 1
             )
         self._reserved_next = base + n
+        # publish the reservation BEFORE any data lands: a concurrent
+        # writer created after this point sees the marker and reserves
+        # past base+n (see _staged_reservation_high)
+        seg_dir = self.io.path("segments", seg)
+        self.io.makedirs(seg_dir)
+        self.io.write_text(
+            posixpath.join(seg_dir, "_reserved.json"),
+            json.dumps({"next": base + n}),
+        )
         seg_docs = os.path.join(self.paths.root, "segments", seg, "docs")
         with_ids.write.mode("overwrite").parquet(seg_docs)
         docs_df = self.spark.read.parquet(seg_docs)
@@ -247,8 +285,28 @@ class SegmentWriter:
     # ---------- §2.1 commit / rollback ----------
 
     def commit(self) -> dict:
-        """Publish staged segments + tombstones atomically."""
+        """Publish staged segments + tombstones atomically.
+
+        Each commit records its [base, next) id range in the log; a commit
+        whose staged range INTERSECTS an already-committed range fails
+        loudly — that means another writer (created before our reservation
+        marker existed) handed out overlapping doc_ids, and publishing
+        would stage duplicates the max() merge below would silently mask.
+        Ranges reserved correctly via the markers never intersect, so
+        marker-honoring writers commit in any order."""
         state = self.log.read()
+        if self._staged_segments and self._reserved_base is not None:
+            lo, hi = self._reserved_base, self._reserved_next
+            for other in state.get("id_ranges", []):
+                if other[0] < hi and other[1] > lo:
+                    raise RuntimeError(
+                        "doc-id reservation conflict: committed range "
+                        f"[{other[0]}, {other[1]}) overlaps this writer's "
+                        f"staged range [{lo}, {hi}) — another writer "
+                        "reserved before our marker existed; rollback() "
+                        "and re-stage."
+                    )
+            state.setdefault("id_ranges", []).append([lo, hi])
         state["segments"].extend(self._staged_segments)
         state["tombstones"].extend(self._staged_tombstones)
         state["version"] += 1

@@ -65,6 +65,11 @@ class SearchEngine:
     # vocabularies), planning falls back to batched metadata-only lookups
     # with per-engine caching — still one small job per novel term set.
     MAX_DICT_TERMS = 2_000_000
+    # ... and by estimated DRIVER MEMORY, not just row count: a wide
+    # web-scale vocabulary of long terms can hit hundreds of MB below the
+    # row cap (ADVICE r3). Entries cost ~2 dict slots + tuple + string;
+    # ~120 bytes overhead + term bytes is a conservative estimate.
+    MAX_DICT_BYTES = 64 * 1024 * 1024
     # Broadcast-join gates for intersection chains: when the accumulated
     # (rarest-first) side's exact df bound fits comfortably in a broadcast,
     # the wider clause streams through a broadcast-hash join instead of
@@ -144,6 +149,16 @@ class SearchEngine:
         )
         if len(rows) > self.MAX_DICT_TERMS:
             return  # vocabulary too large for the driver; use lazy lookups
+        est_bytes = sum(120 + len(r["term"].encode()) for r in rows)
+        if est_bytes > self.MAX_DICT_BYTES:
+            import logging
+
+            logging.getLogger(__name__).info(
+                "dictionary preload skipped: %d terms ≈ %.1f MB over the "
+                "%d MB cap; falling back to lazy metadata lookups",
+                len(rows), est_bytes / 1e6, self.MAX_DICT_BYTES >> 20,
+            )
+            return
         for r in rows:
             self._df_cache[(r["field"], r["term"])] = int(r["df"])
             self._bucket_cache[r["term"]] = int(r["b"])

@@ -110,3 +110,88 @@ def test_sort_path_single_action_and_shape(built, spy_fetch):
     assert ts == sorted(ts, reverse=True)
     for d in resp.documents:
         assert d["score"] == 0.0 and d["sort_value"] is not None
+
+
+# ---- ADVICE r4: doc-id reservation vs interleaved writers ----
+
+
+def _mini_builder(spark, tmp_path_factory):
+    from bayard_spark.build.indexer import IndexBuilder
+    from bayard_spark.schema import webtext_index_meta
+    from bayard_spark.sources.webtext import webtext_df
+
+    root = str(tmp_path_factory.mktemp("resv_idx"))
+    meta = webtext_index_meta(num_buckets=4, num_waves=1)
+    builder = IndexBuilder(spark, meta, root)
+    builder.build(webtext_df(spark, 40, partitions=2))
+    return builder
+
+
+def _put_batch(spark, n, seed):
+    from bayard_spark.sources.webtext import webtext_df
+    from pyspark.sql import functions as F
+
+    return webtext_df(spark, n, seed=seed).withColumn(
+        "url", F.concat(F.lit(f"https://put{seed}.example/"), F.col("url"))
+    )
+
+
+def test_interleaved_writers_never_share_id_ranges(spark, tmp_path_factory):
+    from bayard_spark.build.segments import SegmentWriter
+
+    builder = _mini_builder(spark, tmp_path_factory)
+    w1 = SegmentWriter(spark, builder)
+    w1.put_documents(_put_batch(spark, 5, seed=101))  # staged, NOT committed
+    # a second writer created while w1 has staged-but-uncommitted work must
+    # reserve PAST w1's marker, not reuse its range
+    w2 = SegmentWriter(spark, builder)
+    base2 = w2._next_doc_id()
+    assert base2 >= w1._reserved_next
+    w2.put_documents(_put_batch(spark, 5, seed=202))
+    w2.commit()
+    w1.commit()
+    from bayard_spark.build.segments import visible_docs
+
+    docs = visible_docs(spark, builder.paths)
+    n_ids = docs.select("doc_id").distinct().count()
+    assert n_ids == docs.count(), "duplicate doc_ids across writers"
+
+
+def test_commit_fails_loudly_on_overlapping_reservation(
+    spark, tmp_path_factory
+):
+    from bayard_spark.build.segments import SegmentWriter
+
+    builder = _mini_builder(spark, tmp_path_factory)
+    w1 = SegmentWriter(spark, builder)
+    w1._next_doc_id()  # reserve BEFORE w2 stages (no marker yet -> overlap)
+    w2 = SegmentWriter(spark, builder)
+    w2.put_documents(_put_batch(spark, 5, seed=303))
+    w2.commit()
+    w1.put_documents(_put_batch(spark, 5, seed=404))
+    with pytest.raises(RuntimeError, match="reservation conflict"):
+        w1.commit()
+
+
+def test_preload_cap_is_byte_sized(spark, tmp_path_factory):
+    from bayard_spark.query import SearchEngine
+
+    builder = _mini_builder(spark, tmp_path_factory)
+    root = builder.paths.root
+
+    class TinyCapEngine(SearchEngine):
+        MAX_DICT_BYTES = 256  # force the wide-vocabulary fallback
+
+    engine = TinyCapEngine(spark, root)
+    assert not engine._dict_complete, "byte cap must skip the preload"
+    # lazy metadata lookups still answer correctly
+    resp = engine.search(
+        {
+            "query": {
+                "kind": "term", "options": {"field": "text", "term": "water"}
+            },
+            "collection_kind": "count_and_top_docs",
+            "hits": 5,
+        }
+    )
+    assert resp.total_hits >= 0
