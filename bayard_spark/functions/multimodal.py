@@ -2,10 +2,14 @@
 
 Image METADATA decode is real: pure-Python container-header parsers for
 PNG / JPEG / GIF / WebP / BMP (no external libs needed — dimensions and
-format come from the first bytes of each container). Pixel decode and
-model-based FEATURE extraction remain stubbed behind clearly-marked hooks
-(`MediaDecodeUnavailable`) because no image/audio libraries ship in this
-environment; swap in Pillow/torchaudio/pyav — batch shapes don't change.
+format come from the first bytes of each container). PNG PIXEL decode is
+real too (decode_png_pixels: stdlib zlib inflate + per-scanline unfilter,
+all five filter types, gray/RGB/palette/alpha color types), so
+image_features(real_decode=True) derives vectors from actual pixels for
+PNG. JPEG/audio/video decode and model-based embeddings remain stubbed
+behind clearly-marked hooks (`MediaDecodeUnavailable`) because those
+codecs genuinely need external libraries (Pillow/torchaudio/pyav) that do
+not ship in this environment — batch shapes don't change when swapped in.
 
 Design rules for 100 TB of media:
 - media bytes travel ONCE: metadata extraction and feature extraction happen
@@ -133,6 +137,125 @@ def image_metadata(
     return df.select(id_col, bytes_col).mapInPandas(run, IMAGE_META_SCHEMA)
 
 
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png_pixels(data: bytes) -> np.ndarray:
+    """REAL dep-free PNG pixel decode (RFC 2083): IDAT zlib inflate +
+    per-scanline unfilter → uint8 array of shape (height, width, channels).
+
+    Supports bit depth 8 in every color type (gray / RGB / palette /
+    gray+alpha / RGBA, palette expanded via PLTE). Interlaced (Adam7) and
+    non-8-bit depths raise MediaDecodeUnavailable — honestly gated, not
+    silently wrong. The per-SCANLINE Python loop is the accepted decode
+    granularity (row ops are numpy); Sub/Paeth are sequential along a row
+    by definition, so those two filters walk bytes within the row.
+    """
+    import struct
+    import zlib
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise MediaDecodeUnavailable("not a PNG container")
+    pos, n = 8, len(data)
+    ihdr = None
+    idat = bytearray()
+    plte = None
+    while pos + 8 <= n:
+        (clen,), ctype = struct.unpack(">I", data[pos:pos + 4]), \
+            data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + clen]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # len + type + body + crc
+    if ihdr is None or not idat:
+        raise MediaDecodeUnavailable("PNG missing IHDR/IDAT")
+    width, height, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+        raise MediaDecodeUnavailable(
+            f"PNG depth={depth} color={color} interlace={interlace} "
+            "needs a full decoder (only 8-bit non-interlaced supported)"
+        )
+    ch = _PNG_CHANNELS[color]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * ch
+    if len(raw) < height * (stride + 1):
+        raise MediaDecodeUnavailable("PNG IDAT truncated")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        row_start = y * (stride + 1)
+        ftype = raw[row_start]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=row_start + 1
+        ).astype(np.int32)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 1:  # Sub — sequential along the row
+            cur = line.copy()
+            for i in range(ch, stride):
+                cur[i] = (cur[i] + cur[i - ch]) & 0xFF
+        elif ftype == 2:  # Up — vectorized
+            cur = (line + prev) & 0xFF
+        elif ftype == 3:  # Average — sequential (depends on left neighbor)
+            cur = line.copy()
+            for i in range(stride):
+                left = cur[i - ch] if i >= ch else 0
+                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth — sequential
+            cur = line.copy()
+            for i in range(stride):
+                a = cur[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c
+                )
+                cur[i] = (cur[i] + pred) & 0xFF
+        else:
+            raise MediaDecodeUnavailable(f"PNG filter {ftype} invalid")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    px = out.reshape(height, width, ch)
+    if color == 3:  # palette-indexed → RGB
+        if plte is None:
+            raise MediaDecodeUnavailable("palette PNG without PLTE")
+        px = plte[px[:, :, 0]]
+    return px
+
+
+def png_pixel_features(px: np.ndarray, dim: int = 64) -> np.ndarray:
+    """Deterministic pixel-derived feature vector: per-channel means/stds,
+    a luminance histogram, and coarse 4x4 spatial means — all computed
+    from REAL decoded pixels (the model-embedding hook stays separate)."""
+    h, w, c = px.shape
+    f = np.asarray(px, dtype=np.float64)
+    lum = f.mean(axis=2)
+    hist, _ = np.histogram(lum, bins=32, range=(0, 256))
+    hist = hist / max(h * w, 1)
+    ys = np.linspace(0, h, 5, dtype=int)
+    xs = np.linspace(0, w, 5, dtype=int)
+    cells = [
+        lum[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
+        if ys[i] < ys[i + 1] and xs[j] < xs[j + 1] else 0.0
+        for i in range(4) for j in range(4)
+    ]
+    stats = []
+    for k in range(min(c, 4)):
+        stats += [f[:, :, k].mean() / 255.0, f[:, :, k].std() / 255.0]
+    v = np.concatenate([hist, np.array(cells) / 255.0, np.array(stats)])
+    if len(v) < dim:
+        v = np.pad(v, (0, dim - len(v)))
+    return v[:dim].astype(np.float32)
+
+
 def image_features(
     df: DataFrame,
     bytes_col: str = "media",
@@ -142,20 +265,24 @@ def image_features(
 ) -> DataFrame:
     """Feature-extract each image → float vector.
 
-    STUB path: a deterministic hash-derived vector (so the downstream ANN /
-    dedup pipeline is fully exercisable end-to-end). real_decode=True raises
-    MediaDecodeUnavailable until a model hook is plugged in.
+    real_decode=True runs the REAL dep-free PNG pixel decoder
+    (decode_png_pixels: zlib inflate + unfilter) and derives the vector
+    from actual pixels; non-PNG containers raise MediaDecodeUnavailable
+    (JPEG entropy decode genuinely needs an external codec). The default
+    stub path keeps the hash-derived vector so the downstream ANN / dedup
+    pipeline is exercisable on arbitrary bytes.
     """
-    if real_decode:
-        raise MediaDecodeUnavailable(
-            "plug a real encoder into image_features(real_decode=True)"
-        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
             for b in pdf[bytes_col]:
                 b = b or b""
+                if real_decode:
+                    feats.append(
+                        png_pixel_features(decode_png_pixels(b), dim).tolist()
+                    )
+                    continue
                 seed = np.frombuffer(
                     hashlib.sha256(b).digest(), dtype=np.uint8
                 ).astype(np.float64)

@@ -24,8 +24,10 @@ def toks(text, **kw):
 def test_japanese_reference_sentence():
     # reference lindera.rs:72-107 asserts 日本語|の|形態素|解析|を|行う
     got = toks(JA_SENT)
+    # reference continues でき|ます (lindera.rs:121-132) — ipadic splits
+    # the potential form from the polite auxiliary
     assert got == ["日本語", "の", "形態素", "解析", "を", "行う",
-                   "こと", "が", "できます"]
+                   "こと", "が", "でき", "ます"]
     assert got[:6] == ["日本語", "の", "形態素", "解析", "を", "行う"]
 
 
@@ -157,3 +159,20 @@ def test_cjk_rank_identity(spark, tmp_path):
         assert [d for d, _ in got] == [d for d, _ in expected], term
         for (gd, gs), (_, es) in zip(got, expected):
             assert math.isclose(gs, es, rel_tol=1e-9, abs_tol=1e-12)
+
+
+def test_lindera_fidelity_measurement():
+    """Pins the measured fidelity vs published Lindera/ipadic outputs
+    (tools/cjk_fidelity.py over tests/data/cjk_lindera_golden.tsv):
+    macro token-F1 and exact-match floor must not regress."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from tools.cjk_fidelity import measure
+
+    scores = measure()
+    macro = sum(f1 for *_, f1 in scores) / len(scores)
+    exact = sum(1 for *_, f1 in scores if f1 == 1.0)
+    assert macro >= 0.98, f"fidelity regressed: macro F1 {macro:.3f}"
+    assert exact >= 11, f"fidelity regressed: exact {exact}/{len(scores)}"

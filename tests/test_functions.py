@@ -263,8 +263,15 @@ class TestMultimodal:
                 multimodal.image_features(df, dim=32).collect()}
         assert len(rows[1]) == 32
         assert rows[1] == rows[2] != rows[3]
-        with pytest.raises(multimodal.MediaDecodeUnavailable):
-            multimodal.image_features(df, real_decode=True)
+        # real_decode now actually decodes PNG pixels (round 4); the
+        # honest gate moved to NON-decodable containers and raises from
+        # the executor when the job runs
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors.exceptions.captured import PythonException
+
+        with pytest.raises((PythonException, Py4JJavaError)) as err:
+            multimodal.image_features(df, real_decode=True).collect()
+        assert "MediaDecodeUnavailable" in str(err.value)
 
     def test_video_frame_sampling(self, spark):
         vid = bytes(1024 * 55)  # 55 fake frames
