@@ -307,6 +307,83 @@ def q_engine_phrase_bm25(spark, sf_dir):
     )
 
 
+def q_streaming_upsert(spark, sf_dir):
+    """§2.9 NRT streaming gate: a Structured Streaming query
+    (readStream → foreachBatch → StreamingIngestor) upserts refreshed
+    versions of every doc_id % 5 == 0 document into a freshly built
+    block-codec index, committing per micro-batch; the SearchEngine then
+    counts matches for the refreshed-only marker term. total_hits equals
+    the refreshed-doc count exactly IFF the streamed segments became
+    visible atomically, replaced urls were tombstoned, and the epoch
+    ledger deduplicated replays — the reference's buffered-writer +
+    commit NRT cycle (node.rs:1243-1261) restated as streaming.
+    Oracle twin: the same count straight off the documents table."""
+    import shutil
+    import tempfile
+
+    from bayard_spark.build.indexer import IndexBuilder
+    from bayard_spark.query import SearchEngine
+    from bayard_spark.schema import webtext_index_meta
+    from bayard_spark.streaming.ingest import StreamingIngestor
+
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        F.concat(F.lit("https://example.com/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+         + F.make_interval(secs=F.col("doc_id"))).alias("warc_ts"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    root = tempfile.mkdtemp(prefix="gate_stream_idx_")
+    src_dir = tempfile.mkdtemp(prefix="gate_stream_src_")
+    ckpt = tempfile.mkdtemp(prefix="gate_stream_ckpt_")
+    try:
+        meta = webtext_index_meta(num_buckets=8, num_waves=1)
+        builder = IndexBuilder(spark, meta, root)
+        builder.build(base, resume=False)
+        # refreshed versions arrive as a stream (newer warc_ts, marker term)
+        refreshed = base.filter(
+            F.pmod(F.xxhash64("url"), F.lit(1)) >= 0  # keep schema/plan simple
+        ).join(
+            docs.filter(F.col("doc_id") % 5 == 0).select(
+                F.concat(F.lit("https://example.com/doc/"),
+                         F.col("doc_id").cast("string")).alias("url")
+            ),
+            "url",
+        ).withColumn(
+            "text", F.concat(F.col("text"), F.lit(" streamrefresh"))
+        ).withColumn(
+            "warc_ts", F.col("warc_ts") + F.make_interval(days=F.lit(1))
+        )
+        refreshed.write.mode("overwrite").parquet(src_dir)
+        ingestor = StreamingIngestor(spark, builder)
+        q = (
+            spark.readStream.schema(refreshed.schema).parquet(src_dir)
+            .writeStream.foreachBatch(ingestor)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(300)
+        engine = SearchEngine(spark, root)
+        resp = engine.search(
+            {
+                "query": {"kind": "term",
+                          "options": {"field": "text",
+                                      "term": "streamrefresh"}},
+                "collection_kind": "count",
+            }
+        )
+        return spark.createDataFrame(
+            [(int(resp.total_hits),)], "total_hits long"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 # ------------------------------------------------------- index-build aggs
 
 
@@ -719,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_bm25": q_term_bm25,
         "engine_term_bm25": q_engine_term_bm25,
         "engine_phrase_bm25": q_engine_phrase_bm25,
+        "streaming_upsert": q_streaming_upsert,
         "phrase_bm25": q_phrase_bm25,
         "bool_must": q_bool_must,
         "bool_should": q_bool_should,
@@ -760,6 +838,11 @@ def oracle_sql() -> dict[str, str]:
     # twins — identical oracle SQL, but the Spark side executed
     # build/codec.py + query/engine.py decode
     sqls["engine_term_bm25"] = _term_sql("spark")
+    # streamed refresh touched exactly the doc_id % 5 == 0 documents; the
+    # engine count is the visibility/tombstone/idempotency proof
+    sqls["streaming_upsert"] = (
+        "SELECT count(*) AS total_hits FROM documents WHERE doc_id % 5 = 0"
+    )
 
     sqls["engine_phrase_bm25"] = sqls["phrase_bm25"] = f"""
 {_PRELUDE},

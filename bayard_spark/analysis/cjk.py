@@ -218,13 +218,26 @@ def _offsets_path(s, pat, decompose, threshold, dict_type):
     table = _decompose_table(dict_type, threshold) if decompose else {}
     rows, toks, poss, starts, ends = [], [], [], [], []
     for i, text in enumerate(s):
+        # byte offset of char j = cum[j], built in ONE vectorized pass per
+        # string (utf-8 width from the code point) — the old
+        # len(text[:a].encode()) re-encoded the prefix per TOKEN, i.e.
+        # quadratic per string (ADVICE r3)
+        cps = np.frombuffer(
+            text.encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.int64)
+        widths = (
+            1 + (cps > 0x7F).astype(np.int64)
+            + (cps > 0x7FF).astype(np.int64)
+            + (cps > 0xFFFF).astype(np.int64)
+        )
+        cum = np.concatenate(([0], np.cumsum(widths)))
         pos = 0
         for m in pat.finditer(text):
             pieces = table.get(m.group(), [m.group()])
             a = m.start()
             for p in pieces:
-                start_b = len(text[:a].encode("utf-8"))
-                end_b = start_b + len(p.encode("utf-8"))
+                start_b = int(cum[a])
+                end_b = int(cum[a + len(p)])
                 rows.append(i)
                 toks.append(p)
                 poss.append(pos)
