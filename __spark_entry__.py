@@ -1215,5 +1215,8 @@ SELECT vec_id, {sig_pack} AS sig FROM proj GROUP BY vec_id ORDER BY vec_id
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: BM25 top-10 for 'spark' on sf0.001 documents."""
-    return q_term_bm25(spark, "/root/testdata/sf0.001")
+    """Flagship: BM25 top-10 for 'spark' on sf0.001 documents, answered by
+    the REAL engine end-to-end — IndexBuilder writes delta+varint posting
+    blocks, SearchEngine decodes and scores them (round 4: the smoke test
+    exercises the codec path, not just the relational twin)."""
+    return q_engine_term_bm25(spark, "/root/testdata/sf0.001")
