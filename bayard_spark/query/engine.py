@@ -77,6 +77,15 @@ class SearchEngine:
     # cap); position rows carry int arrays, so their gate sits lower.
     BROADCAST_DOCS_MAX = 500_000
     BROADCAST_POSITIONS_MAX = 100_000
+    # Phrase candidate-filtered decode gate: collect the rare term's doc
+    # ids (≤ PHRASE_SEMI_MAX, bounded driver memory) and push them into a
+    # wide constituent's decoder only when whole BLOCKS can actually be
+    # skipped — candidates are hash-scattered over doc ids, so a block of
+    # `block_size` docs is empty of candidates only when
+    # rare_df × block_size ≲ wide_df (expected candidates/block < 1);
+    # below that ratio the extra job buys nothing (measured: ratio 8 was
+    # pure overhead — every block still held a candidate).
+    PHRASE_SEMI_MAX = 100_000
     # Above this many preloaded dictionary entries, fuzzy/regex expansion
     # routes to the DISTRIBUTED path even when the dict is driver-resident:
     # a Python loop over millions of cached terms costs seconds of driver
@@ -222,17 +231,48 @@ class SearchEngine:
         n = self.stats[fld]["n_docs"]
         return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
 
-    def _decode(self, blocks: DataFrame, want_positions: bool) -> DataFrame:
-        """Decode block payloads → (term, doc_id, tf, len[, positions])."""
+    def _decode(
+        self,
+        blocks: DataFrame,
+        want_positions: bool,
+        candidate_ids=None,
+    ) -> DataFrame:
+        """Decode block payloads → (term, doc_id, tf, len[, positions]).
+
+        candidate_ids (sorted int64 np.ndarray, broadcast by closure):
+        semi-join pushed INTO the decoder — doc ids decode first (cheap),
+        and a block with no candidate skips its positions varint decode and
+        per-row list construction entirely; surviving blocks emit only
+        candidate rows. This is how a phrase with one rare and one huge
+        term avoids materializing the huge term's positions at 100 TB
+        (tantivy's doc-at-a-time intersection restated block-at-a-time).
+        """
 
         lossy = self.meta.lossy_fieldnorms
+        cand_bc = (
+            self.spark.sparkContext.broadcast(
+                np.asarray(candidate_ids, dtype=np.int64)
+            )
+            if candidate_ids is not None
+            else None
+        )
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             from bayard_spark.fieldnorm import quantize
 
+            cand = cand_bc.value if cand_bc is not None else None
             for pdf in batches:
                 outs = []
                 for r in pdf.itertuples(index=False):
+                    if cand is not None:
+                        doc_ids, tfs, _, _ = decode_block(
+                            r.doc_bytes, r.tf_bytes, None
+                        )
+                        idx = np.searchsorted(cand, doc_ids)
+                        idx[idx == len(cand)] = 0
+                        mask = cand[idx] == doc_ids
+                        if not mask.any():
+                            continue  # no candidate in block: skip payloads
                     doc_ids, tfs, positions, offs = decode_block(
                         r.doc_bytes, r.tf_bytes,
                         r.pos_bytes if want_positions else None,
@@ -240,19 +280,29 @@ class SearchEngine:
                     lens = varint_decode(r.len_bytes)
                     if lossy:
                         lens = quantize(lens)
+                    if cand is not None:
+                        keep = np.nonzero(mask)[0]
+                    else:
+                        keep = None
                     out = pd.DataFrame(
                         {
                             "term": r.term,
-                            "doc_id": doc_ids.astype(np.int64),
-                            "tf": tfs.astype(np.float64),
-                            "len": lens.astype(np.float64),
+                            "doc_id": (
+                                doc_ids[keep] if keep is not None else doc_ids
+                            ).astype(np.int64),
+                            "tf": (
+                                tfs[keep] if keep is not None else tfs
+                            ).astype(np.float64),
+                            "len": (
+                                lens[keep] if keep is not None else lens
+                            ).astype(np.float64),
                         }
                     )
                     if want_positions and positions is not None:
                         pos32 = positions.astype(np.int32)
+                        rows = keep if keep is not None else range(len(doc_ids))
                         out["positions"] = [
-                            pos32[offs[i]:offs[i + 1]].tolist()
-                            for i in range(len(doc_ids))
+                            pos32[offs[i]:offs[i + 1]].tolist() for i in rows
                         ]
                     else:
                         out["positions"] = None
@@ -387,15 +437,54 @@ class SearchEngine:
         name_of = {t: f"p{phrase_terms.index(t)}" for t in uniq}
         # rarest-first intersection ordering
         order_terms = sorted(uniq, key=lambda t: df_map[t])
+        # Candidate-filtered decode: when one constituent is rare and
+        # another is huge, collect the rare term's bounded doc-id set once
+        # and push it INTO the wide terms' decoders — blocks with no
+        # candidate skip their positions varint decode and row
+        # materialization, so a phrase like ["the", <rare>] never
+        # manifests the head term's positions (the 100-TB plan; at equal
+        # sizes the extra job isn't worth it and the gate stays closed).
+        rare_df = df_map[order_terms[0]]
+        wide_df = df_map[order_terms[-1]]
+        semi_ratio = getattr(
+            self, "PHRASE_SEMI_RATIO", self.meta.block_size
+        )
+        candidates = None
+        if (
+            rare_df <= self.PHRASE_SEMI_MAX
+            and wide_df >= semi_ratio * rare_df
+        ):
+            rows = (
+                self._decode(
+                    self._leaf_blocks(fld, order_terms[0]),
+                    want_positions=False,
+                )
+                .select("doc_id")
+                .collect()
+            )
+            candidates = np.sort(
+                np.array([r["doc_id"] for r in rows], dtype=np.int64)
+            )
         joined = None
         for j, t in enumerate(order_terms):
-            key = ("pos", fld, t)
-            base_t = self._leaf_cache.get(key)
-            if base_t is None:
+            semi = (
+                candidates is not None
+                and df_map[t] >= semi_ratio * rare_df
+            )
+            if semi:
                 base_t = self._decode(
-                    self._leaf_blocks(fld, t), want_positions=True
+                    self._leaf_blocks(fld, t),
+                    want_positions=True,
+                    candidate_ids=candidates,
                 ).select("doc_id", "positions", "len")
-                self._leaf_cache[key] = base_t
+            else:
+                key = ("pos", fld, t)
+                base_t = self._leaf_cache.get(key)
+                if base_t is None:
+                    base_t = self._decode(
+                        self._leaf_blocks(fld, t), want_positions=True
+                    ).select("doc_id", "positions", "len")
+                    self._leaf_cache[key] = base_t
             f_t = base_t.select(
                 "doc_id",
                 F.col("positions").alias(name_of[t]),
