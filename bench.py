@@ -355,7 +355,13 @@ def run_scaling(corpus: str) -> tuple[dict, dict, dict]:
     return scaling, lo_best, hi_best
 
 
+CONCURRENT_CLIENTS = int(os.environ.get("SPARK_GRAFT_QUERY_CLIENTS", "8"))
+CONCURRENT_ROUNDS = int(os.environ.get("SPARK_GRAFT_QUERY_CROUNDS", "4"))
+
+
 def run_queries(spark, root: str) -> dict:
+    from concurrent.futures import ThreadPoolExecutor
+
     from bayard_spark.query import SearchEngine
 
     engine = SearchEngine(spark, root)
@@ -372,11 +378,29 @@ def run_queries(spark, root: str) -> dict:
         per_query[name] = round(min(times), 4)
         lat.extend(times)
     lat.sort()
+    # Serving throughput: a search server multiplexes clients, and Spark
+    # schedules concurrent actions from threads onto idle cores — the
+    # sequential QPS above is a latency artifact, not capacity. One shared
+    # engine (one index snapshot), N client threads, each draining the
+    # full query-shape set CONCURRENT_ROUNDS times.
+    reqs = [
+        q for _ in range(CONCURRENT_ROUNDS) for _name, q in QUERY_SET
+    ] * 1
+
+    def one(q):
+        engine.search({"query": q, "collection_kind": "top_docs", "hits": 10})
+
+    t0 = time.time()
+    with ThreadPoolExecutor(CONCURRENT_CLIENTS) as ex:
+        list(ex.map(one, reqs))
+    conc_wall = time.time() - t0
     return {
         "per_query": per_query,
         "p50_s": round(statistics.median(lat), 4),
         "p95_s": round(lat[int(len(lat) * 0.95) - 1], 4),
         "qps": round(len(lat) / sum(lat), 3),
+        "concurrent_clients": CONCURRENT_CLIENTS,
+        "concurrent_qps": round(len(reqs) / conc_wall, 3),
     }
 
 
@@ -411,6 +435,8 @@ def main() -> None:
             "p50_s": qstats["p50_s"],
             "p95_s": qstats["p95_s"],
             "qps": qstats["qps"],
+            "concurrent_clients": qstats["concurrent_clients"],
+            "concurrent_qps": qstats["concurrent_qps"],
         },
         "scaling": scaling,
     }
@@ -556,7 +582,10 @@ slow lo-arm draw, not real superlinearity.
 
 Query latency over the reference query-shape set (prebuilt index at
 sf={SF_DIR.rstrip('/').split('sf')[-1]}): p50 {qstats['p50_s']} s,
-p95 {qstats['p95_s']} s, {qstats['qps']} QPS.
+p95 {qstats['p95_s']} s, {qstats['qps']} QPS sequential,
+**{qstats['concurrent_qps']} QPS with {qstats['concurrent_clients']}
+concurrent clients** (one shared engine snapshot; Spark schedules the
+concurrent actions onto idle cores — serving capacity, not latency).
 {delta}{skew_section()}"""
         )
 

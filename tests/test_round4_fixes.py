@@ -254,3 +254,39 @@ def test_phrase_semi_gate_opens_only_on_skew(built, monkeypatch):
     )
     assert not any(seen)
     engine._leaf_cache.clear()
+
+
+def test_engine_is_thread_safe_for_concurrent_search(built):
+    """One engine snapshot, 8 client threads, mixed query shapes —
+    results must equal the sequential answers (shared plan caches may
+    race benignly but never corrupt)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    engine, _ = built
+    shapes = [
+        {"kind": "term", "options": {"field": "text", "term": "water"}},
+        {"kind": "term", "options": {"field": "text", "term": "people"}},
+        {"kind": "phrase",
+         "options": {"field": "text", "phrase_terms": ["the", "water"],
+                     "slop": 1}},
+        {"kind": "boolean", "options": {"subqueries": [
+            {"occurrence": "must", "query": {
+                "kind": "term",
+                "options": {"field": "text", "term": "water"}}},
+            {"occurrence": "must", "query": {
+                "kind": "term",
+                "options": {"field": "text", "term": "day"}}}]}},
+    ]
+
+    def ids(q):
+        resp = engine.search(
+            {"query": q, "collection_kind": "top_docs", "hits": 10}
+        )
+        return [d["id"] for d in resp.documents]
+
+    sequential = [ids(q) for q in shapes]
+    reqs = shapes * 6
+    with ThreadPoolExecutor(8) as ex:
+        got = list(ex.map(ids, reqs))
+    for i, g in enumerate(got):
+        assert g == sequential[i % len(shapes)]
