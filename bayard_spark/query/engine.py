@@ -257,63 +257,98 @@ class SearchEngine:
             else None
         )
 
-        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def run(batches):
+            # Arrow-native: per-BLOCK numpy decode (accepted granularity),
+            # but the output is assembled as ONE RecordBatch per input
+            # batch with the positions as a zero-copy ListArray sliced by
+            # the codec's own offsets — no per-row Python list building
+            # (the old pandas path spent most of its time in .tolist()).
+            import pyarrow as pa
+
             from bayard_spark.fieldnorm import quantize
 
             cand = cand_bc.value if cand_bc is not None else None
-            for pdf in batches:
-                outs = []
-                for r in pdf.itertuples(index=False):
+            for rb in batches:
+                terms = rb.column(0).to_pylist()
+                doc_col = rb.column(1)
+                tf_col = rb.column(2)
+                len_col = rb.column(3)
+                pos_col = rb.column(4) if want_positions else None
+                doc_parts, tf_parts, len_parts, term_rep = [], [], [], []
+                pos_parts, pos_counts = [], []
+                for i in range(rb.num_rows):
+                    db = doc_col[i].as_py()
+                    tb = tf_col[i].as_py()
                     if cand is not None:
-                        doc_ids, tfs, _, _ = decode_block(
-                            r.doc_bytes, r.tf_bytes, None
-                        )
+                        doc_ids, tfs, _, _ = decode_block(db, tb, None)
                         idx = np.searchsorted(cand, doc_ids)
                         idx[idx == len(cand)] = 0
                         mask = cand[idx] == doc_ids
                         if not mask.any():
-                            continue  # no candidate in block: skip payloads
-                    doc_ids, tfs, positions, offs = decode_block(
-                        r.doc_bytes, r.tf_bytes,
-                        r.pos_bytes if want_positions else None,
-                    )
-                    lens = varint_decode(r.len_bytes)
+                            continue  # no candidate: skip payload decode
+                    pb = pos_col[i].as_py() if want_positions else None
+                    doc_ids, tfs, positions, offs = decode_block(db, tb, pb)
+                    lens = varint_decode(len_col[i].as_py())
                     if lossy:
                         lens = quantize(lens)
                     if cand is not None:
                         keep = np.nonzero(mask)[0]
+                        doc_ids, tfs, lens = (
+                            doc_ids[keep], tfs[keep], lens[keep]
+                        )
                     else:
                         keep = None
-                    out = pd.DataFrame(
-                        {
-                            "term": r.term,
-                            "doc_id": (
-                                doc_ids[keep] if keep is not None else doc_ids
-                            ).astype(np.int64),
-                            "tf": (
-                                tfs[keep] if keep is not None else tfs
-                            ).astype(np.float64),
-                            "len": (
-                                lens[keep] if keep is not None else lens
-                            ).astype(np.float64),
-                        }
-                    )
+                    doc_parts.append(doc_ids.astype(np.int64))
+                    tf_parts.append(tfs.astype(np.float64))
+                    len_parts.append(lens.astype(np.float64))
+                    term_rep.append((terms[i], len(doc_ids)))
                     if want_positions and positions is not None:
                         pos32 = positions.astype(np.int32)
-                        rows = keep if keep is not None else range(len(doc_ids))
-                        out["positions"] = [
-                            pos32[offs[i]:offs[i + 1]].tolist() for i in rows
-                        ]
-                    else:
-                        out["positions"] = None
-                    outs.append(out)
-                if outs:
-                    yield pd.concat(outs, ignore_index=True)
+                        if keep is None:
+                            pos_parts.append(pos32)
+                            pos_counts.append(np.diff(offs))
+                        else:
+                            counts = np.diff(offs)[keep]
+                            take = np.concatenate(
+                                [
+                                    np.arange(offs[k], offs[k + 1])
+                                    for k in keep
+                                ]
+                            ) if len(keep) else np.empty(0, dtype=np.int64)
+                            pos_parts.append(pos32[take])
+                            pos_counts.append(counts)
+                if not doc_parts:
+                    continue
+                doc_all = np.concatenate(doc_parts)
+                n = len(doc_all)
+                term_arr = pa.array(
+                    [t for t, c in term_rep for _ in range(c)],
+                    type=pa.string(),
+                )
+                if want_positions and pos_parts:
+                    counts = np.concatenate(pos_counts).astype(np.int64)
+                    offsets = np.concatenate(([0], np.cumsum(counts)))
+                    pos_arr = pa.ListArray.from_arrays(
+                        pa.array(offsets, type=pa.int32()),
+                        pa.array(np.concatenate(pos_parts), type=pa.int32()),
+                    )
+                else:
+                    pos_arr = pa.nulls(n, type=pa.list_(pa.int32()))
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        term_arr,
+                        pa.array(doc_all, type=pa.int64()),
+                        pa.array(np.concatenate(tf_parts), type=pa.float64()),
+                        pa.array(np.concatenate(len_parts), type=pa.float64()),
+                        pos_arr,
+                    ],
+                    names=["term", "doc_id", "tf", "len", "positions"],
+                )
 
         cols = ["term", "doc_bytes", "tf_bytes", "len_bytes"] + (
             ["pos_bytes"] if want_positions else []
         )
-        decoded = blocks.select(*cols).mapInPandas(run, DECODED_SCHEMA)
+        decoded = blocks.select(*cols).mapInArrow(run, DECODED_SCHEMA)
         if self.tombstones is not None:
             decoded = decoded.join(
                 F.broadcast(self.tombstones), "doc_id", "left_anti"
