@@ -307,6 +307,19 @@ def q_engine_phrase_bm25(spark, sf_dir):
     )
 
 
+def q_unigram_logprob(spark, sf_dir):
+    """Corpus-LM quality proxy: per-doc mean unigram log-prob under the
+    corpus's own term distribution (functions/textstats.unigram_logprob) —
+    the CCNet-style filter signal for web-scale corpus cleaning."""
+    from bayard_spark.functions.textstats import unigram_logprob
+
+    docs = _docs(spark, sf_dir)
+    out = unigram_logprob(docs)
+    return out.select(
+        "doc_id", F.round("logprob", 6).alias("logprob")
+    ).orderBy("doc_id")
+
+
 def q_streaming_upsert(spark, sf_dir):
     """§2.9 NRT streaming gate: a Structured Streaming query
     (readStream → foreachBatch → StreamingIngestor) upserts refreshed
@@ -819,6 +832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "quality": q_quality,
         "lang_stop_ratio": q_lang_stop_ratio,
+        "unigram_logprob": q_unigram_logprob,
         "ann_cosine": q_ann_cosine,
         "events_daily": q_events_daily,
         "tpch_revenue": q_tpch_revenue,
@@ -840,6 +854,18 @@ def oracle_sql() -> dict[str, str]:
     sqls["engine_term_bm25"] = _term_sql("spark")
     # streamed refresh touched exactly the doc_id % 5 == 0 documents; the
     # engine count is the visibility/tombstone/idempotency proof
+    sqls["unigram_logprob"] = f"""
+{_PRELUDE},
+tc AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+tot AS (SELECT sum(c) AS total FROM tc),
+lp AS (SELECT doc_id, avg(ln(tc.c * 1.0 / tot.total)) AS logprob
+       FROM tok JOIN tc USING (term), tot GROUP BY doc_id)
+SELECT d.doc_id AS doc_id,
+       round(coalesce(lp.logprob, 0.0), 6) AS logprob
+FROM documents d LEFT JOIN lp ON lp.doc_id = d.doc_id
+ORDER BY doc_id
+"""
+
     sqls["streaming_upsert"] = (
         "SELECT count(*) AS total_hits FROM documents WHERE doc_id % 5 = 0"
     )

@@ -149,6 +149,41 @@ def quality_features(
 BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-LM quality proxy (the CCNet-style filter signal): per-doc
+    mean unigram log-probability under the corpus's OWN term distribution.
+    Repetitive/templated pages (high-frequency tokens only) score high;
+    gibberish and rare-vocabulary pages score low — both tails get cut in
+    web-scale corpus cleaning.
+
+    Spark-first shape: one explode → one groupBy(term) for the global
+    counts (map-side combined) → broadcast the unigram table back onto
+    the token stream → per-doc avg. The unigram table is |vocab| rows —
+    broadcastable at web scale (even 10^8 terms of metadata beat
+    shuffling the token stream twice), and everything is JVM codegen.
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_tokens_col(text_col)).alias("term"),
+    )
+    counts = tok.groupBy("term").agg(F.count("*").alias("tc"))
+    total = counts.agg(F.sum("tc").alias("total"))
+    probs = counts.crossJoin(F.broadcast(total)).select(
+        "term", (F.log(F.col("tc") / F.col("total"))).alias("logp")
+    )
+    per_doc = (
+        tok.join(F.broadcast(probs), "term")
+        .groupBy("doc_id")
+        .agg(F.avg("logp").alias("logprob"))
+    )
+    docs = df.select(F.col(id_col).alias("doc_id"))
+    return docs.join(per_doc, "doc_id", "left").select(
+        "doc_id", F.coalesce("logprob", F.lit(0.0)).alias("logprob")
+    )
+
+
 def token_counts(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -342,3 +342,32 @@ class TestMultimodal:
         for i, _, want in cases:
             got = (rows[i]["format"], rows[i]["width"], rows[i]["height"])
             assert got == want, f"asset {i}: {got} != {want}"
+
+
+class TestUnigramLogprob:
+    def test_matches_hand_computation(self, spark):
+        import math
+
+        from bayard_spark.functions import textstats
+
+        df = spark.createDataFrame(
+            [(1, "a a b"), (2, "b c"), (3, "")],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r["logprob"]
+                for r in textstats.unigram_logprob(df).collect()}
+        # corpus counts: a=2, b=2, c=1, total=5
+        pa_, pb, pc = 2 / 5, 2 / 5, 1 / 5
+        assert abs(rows[1] - (2 * math.log(pa_) + math.log(pb)) / 3) < 1e-12
+        assert abs(rows[2] - (math.log(pb) + math.log(pc)) / 2) < 1e-12
+        assert rows[3] == 0.0  # empty doc: no tokens, coalesced
+
+    def test_plan_broadcasts_unigram_table(self, spark):
+        from bayard_spark.functions import textstats
+
+        df = spark.createDataFrame(
+            [(i, "w x y z") for i in range(50)], "doc_id long, text string"
+        )
+        plan = textstats.unigram_logprob(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Broadcast" in plan, "unigram table must broadcast, not shuffle"
