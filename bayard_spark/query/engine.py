@@ -5,8 +5,9 @@ Plan shape per query (SURVEY §2.4-2.5 mapping):
 - leaf terms resolve to parquet scans of postings blocks with predicates on
   (field, bucket, term): field/bucket are PARTITION columns (pruned before
   I/O), term hits row-group min/max stats. Block payloads decode in one
-  mapInPandas (numpy codec); scoring is pure JVM expressions with IDF as a
-  driver-computed literal (exact float parity with the Python oracle).
+  Arrow-native mapInArrow pass (numpy codec, zero-copy position lists);
+  scoring is pure JVM expressions with IDF as a driver-computed literal
+  (exact float parity with the Python oracle).
 - boolean: must = inner joins ordered rarest-df-first (classic IR
   intersection ordering — SURVEY §4), should = full-outer + left-to-right
   score sum, must_not = left_anti (boolean.rs:272-290 semantics).
@@ -28,9 +29,7 @@ Plan shape per query (SURVEY §2.4-2.5 mapping):
 
 from __future__ import annotations
 
-import json
 import math
-import os
 from collections.abc import Iterator
 from dataclasses import dataclass, field as dc_field
 from functools import reduce
@@ -41,7 +40,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bayard_spark.build.codec import varint_decode, decode_block
-from bayard_spark.build.indexer import read_postings
 from bayard_spark.query.parser import parse_query_string
 from bayard_spark.schema import IndexMeta, IndexPaths
 
