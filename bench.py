@@ -273,8 +273,12 @@ def materialize_scaling_corpus() -> str:
     generation, html dropped — extraction is a separate pipeline stage)."""
     from bayard_spark.sources.webtext import webtext_df
 
+    # /dev/shm: the scaling measurement targets COMPUTE scaling; reading
+    # the corpus from the shared disk injected host-IO burst variance into
+    # the short hi-arm builds (both arms read identical bytes either way)
     path = os.path.join(
-        tempfile.gettempdir(), f"bench_webtext_{SCALE_DOCS}"
+        os.environ.get("SPARK_GRAFT_CORPUS_DIR", "/dev/shm"),
+        f"bench_webtext_{SCALE_DOCS}",
     )
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
