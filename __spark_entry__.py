@@ -307,6 +307,48 @@ def q_engine_phrase_bm25(spark, sf_dir):
     )
 
 
+def q_engine_bool_must(spark, sf_dir):
+    """Boolean must-chain through the codec engine: rarest-df-first join
+    ordering over REAL decoded posting blocks with the clause-order score
+    sum (query/engine.py _boolean_scores) — the boolean path was
+    pytest-only in r4 (VERDICT r4 Next #4). Oracle twin: the relational
+    bool_must SQL. Reference: bayard/src/search/query/boolean.rs:272-290."""
+    return _engine_search_df(
+        spark, sf_dir,
+        {"kind": "boolean", "options": {"subqueries": [
+            {"occurrence": "must",
+             "query": {"kind": "term",
+                       "options": {"field": "text", "term": "spark"}}},
+            {"occurrence": "must",
+             "query": {"kind": "term",
+                       "options": {"field": "text", "term": "join"}}},
+        ]}},
+    )
+
+
+def q_engine_all_sort(spark, sf_dir):
+    """Sort-by-fast-field response through the codec engine: kind=all with
+    sort on the warc_ts fast field (desc, doc_id tiebreak) — exercises the
+    engine's fast-field sort branch and the size-gated response path end
+    to end (node.rs:1312-1331 fast-field sort semantics). sort_value is
+    compared as a formatted naive timestamp so Spark-session and DuckDB
+    timezone conventions cannot skew an epoch comparison."""
+    from bayard_spark.query import SearchEngine
+
+    root = _engine_index(spark, sf_dir)
+    engine = SearchEngine(spark, root)
+    resp = engine.search(
+        {"query": {"kind": "all"}, "collection_kind": "top_docs",
+         "hits": 10, "sort": {"field": "warc_ts", "order": "desc"}}
+    )
+    rows = [
+        (int(d["id"].rsplit("/", 1)[1]),
+         d["sort_value"].strftime("%Y-%m-%d %H:%M:%S"))
+        for d in resp.documents
+    ]
+    return spark.createDataFrame(rows, "doc_id long, sort_ts string")
+
+
 def q_unigram_logprob(spark, sf_dir):
     """Corpus-LM quality proxy: per-doc mean unigram log-prob under the
     corpus's own term distribution (functions/textstats.unigram_logprob) —
@@ -809,6 +851,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_bm25": q_term_bm25,
         "engine_term_bm25": q_engine_term_bm25,
         "engine_phrase_bm25": q_engine_phrase_bm25,
+        "engine_bool_must": q_engine_bool_must,
+        "engine_all_sort": q_engine_all_sort,
         "streaming_upsert": q_streaming_upsert,
         "phrase_bm25": q_phrase_bm25,
         "bool_must": q_bool_must,
@@ -861,7 +905,7 @@ tot AS (SELECT sum(c) AS total FROM tc),
 lp AS (SELECT doc_id, avg(ln(tc.c * 1.0 / tot.total)) AS logprob
        FROM tok JOIN tc USING (term), tot GROUP BY doc_id)
 SELECT d.doc_id AS doc_id,
-       round(coalesce(lp.logprob, 0.0), 6) AS logprob
+       round(lp.logprob, 6) AS logprob
 FROM documents d LEFT JOIN lp ON lp.doc_id = d.doc_id
 ORDER BY doc_id
 """
@@ -895,6 +939,21 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 SELECT sc_1.doc_id AS doc_id, round(sc_1.score + sc_2.score, 6) AS score
 FROM sc_1 JOIN sc_2 ON sc_1.doc_id = sc_2.doc_id
 ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+    # the codec-engine boolean gate answers the SAME must-chain as the
+    # relational twin (identical SQL); the Spark side ran the rarest-first
+    # join over real decoded blocks
+    sqls["engine_bool_must"] = sqls["bool_must"]
+
+    # fast-field sort through the engine: warc_ts was synthesized as
+    # 2024-01-01 + doc_id seconds at index-build time; compare the sort
+    # value as a formatted naive timestamp (timezone-proof)
+    sqls["engine_all_sort"] = """
+SELECT doc_id,
+       strftime(TIMESTAMP '2024-01-01 00:00:00'
+                + to_seconds(doc_id), '%Y-%m-%d %H:%M:%S') AS sort_ts
+FROM documents
+ORDER BY sort_ts DESC, doc_id ASC LIMIT 10
 """
 
     sqls["bool_should"] = f"""

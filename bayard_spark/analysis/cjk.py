@@ -31,14 +31,30 @@ Segmentation model (deterministic, pinned by tests/test_cjk.py goldens):
 The hot path is one pandas ``str.findall`` + explode — the scan loop lives
 in the C regex engine, not per-row Python.
 
-Measured fidelity vs real Lindera/MeCab-ipadic (round 4, tools/
-cjk_fidelity.py over published segmentations: the reference repo's own
-lindera.rs test sentence, the Lindera README examples, canonical MeCab
-demos — tests/data/cjk_lindera_golden.tsv): macro token-F1 0.981,
-exact-match 11/12 sentences. The one divergence is the canonical
-すもももももももものうち, where greedy maximal match picks もも before も
-while MeCab's Viterbi lattice does not — the documented limit of
-dictionary-light greedy segmentation vs a costed lattice.
+Round 5 adds a JAPANESE OOV MORPHOLOGY LAYER: an OOV Han(+hiragana)
+chunk branch whose trailing closed-class aux/particle pieces peel off
+longest-first (_ja_split) — 書いた → 書い|た, 住んでいます →
+住ん|で|い|ます, 勉強しました → 勉強|し|まし|た — without those verbs in
+any lexicon. This is grammar (ipadic's closed aux classes), not content
+vocabulary.
+
+Measured fidelity vs MeCab/ipadic segmentations (tools/cjk_fidelity.py;
+ADVICE r4 made the eval protocol honest):
+- IN-VOCABULARY (tests/data/cjk_lindera_golden.tsv — the reference
+  repo's lindera.rs test sentence, Lindera README examples, MeCab
+  demos; their vocabulary informed the lexicon): macro token-F1 0.981,
+  exact 11/12. The divergence is すもももももももものうち, where greedy
+  maximal match picks もも before も — the documented limit of
+  dictionary-light greedy segmentation vs a costed lattice.
+- DEV (tests/data/cjk_lindera_heldout.tsv, 40 everyday sentences; was
+  held-out, measured 0.661 against the r4 segmenter, then used to
+  develop the morphology layer): 0.969, exact 36/40.
+- HELD-OUT (tests/data/cjk_lindera_heldout2.tsv, 40 blind sentences
+  written AFTER the layer froze, measured once): **macro token-F1
+  0.850, exact 21/40** — the honest generalization number. Residual
+  misses are chunk-greediness over hiragana runs containing particles
+  (星がきれいに…) and OOV compound aux chains (てしまった) — lattice/
+  dictionary territory, documented as the method's ceiling.
 """
 
 from __future__ import annotations
@@ -64,14 +80,32 @@ _JA_WORDS = """
 文化 歴史 科学 自然 環境 経済 政治 政府 社会 文字 文章 単語 文法
 行う 行く 来る 見る 食べる 飲む 読む 書く 話す 聞く 買う 売る 作る
 使う 思う 知る 分かる 出来る 遊ぶ 働く 住む 帰る 待つ 持つ 取る
-します した して しない ます まし ません です でした でき できる
-ない なかった こと もの ところ これ それ あれ この その
+し する ます まし ませ です でし でき できる あり おり
+ない なかっ たかっ たい たく こと もの ところ これ それ あれ この その
 どの ここ そこ どこ 私 僕 彼女 彼 誰 何 いつ なぜ どう とても
 ください ありがとう こんにちは さようなら おはよう
-すもも もも うち 猫 好き ペン いい 行き 飲み 読み 見 まし た たい
-水 本 最寄り駅 スカイツリー とうきょう 吾輩 ある いる 限定
+すもも もも うち 猫 好き ペン いい おいしい 行き 飲み 読み 見 まし た たい
+水 本 最寄り駅 スカイツリー とうきょう 吾輩 ある いる なる 限定
 の は を に が と で も へ や から まで より ね よ か な さ
 """.split()
+
+# Closed-class auxiliary/particle SUFFIX pieces for the OOV verb-chunk
+# splitter below — each piece is one ipadic token (助動詞/助詞/非自立
+# surface forms). This is grammar (a closed class), not content
+# vocabulary; longest-first so まし wins over し, たかっ over た.
+_JA_AUX = sorted(
+    """ください ながら ましょ たかっ なかっ
+       まし ませ ます です でし たい たく ない する いる
+       から まで より
+       た て で し い う ん か が を は に の と も へ や ね よ ば
+       き だ""".split(),
+    key=len, reverse=True,
+)
+# Stem-final kana that end an ipadic verb/adjective token when they sit
+# DIRECTLY after the Han stem: the 連用/て-form continuatives (i-row,
+# e-row minus て/で which are themselves aux), the geminate っ (買っ),
+# and the 撥音便 ん (住ん, 読ん). て/で excluded: 出て → 出|て.
+_JA_STEM_STOP = set("きぎしじちにひびぴみりいけげせぜねべぺめれえっん")
 
 _ZH_WORDS = """
 中国 北京 上海 广州 深圳 香港 台湾 美国 日本 韩国 世界 国家 政府
@@ -115,9 +149,18 @@ _WORD = (r"[^\W_　-〿぀-ゟ゠-ヿㇰ-ㇿ"
          r"㐀-䶿一-鿿가-힯ᄀ-ᇿ"
          r"豈-﫿]+")
 _HAN_CHAR_RE = re.compile(r"^(?:%s)+$" % _HAN_ONE)
+# Japanese OOV verb/noun chunk: a Han run plus any trailing hiragana,
+# captured whole so the suffix splitter can peel closed-class aux pieces
+# off the end (書いた → 書い|た without 書く in the lexicon). Japanese
+# dictionaries only — for cc-cedict this branch would fuse whole
+# OOV Han sentences into one token.
+_JA_DICTS = ("ipadic", "unidic")
+_JA_CHUNK = r"(?:%s)+(?:%s)*" % (_HAN_ONE, _HIRAGANA)
+_HAN_RUN_RE = re.compile(r"(?:%s)+" % _HAN_ONE)
 
 _PATTERN_CACHE: dict[str, re.Pattern] = {}
 _DECOMP_CACHE: dict[tuple[str, int], dict] = {}
+_LEXSET_CACHE: dict[str, frozenset] = {}
 
 
 def _pattern(dict_type: str) -> re.Pattern:
@@ -126,10 +169,93 @@ def _pattern(dict_type: str) -> re.Pattern:
         words = _LEXICONS[dict_type]
         alts = [re.escape(w) for w in
                 sorted(set(words), key=lambda w: (-len(w), w))]
+        if dict_type in _JA_DICTS:
+            alts.append(_JA_CHUNK)
         alts += [_KATAKANA, _HIRAGANA, _HAN_ONE, _HANGUL, _WORD]
         pat = re.compile("|".join(alts))
         _PATTERN_CACHE[dict_type] = pat
     return pat
+
+
+def _lexset(dict_type: str) -> frozenset:
+    s = _LEXSET_CACHE.get(dict_type)
+    if s is None:
+        s = frozenset(_LEXICONS[dict_type])
+        _LEXSET_CACHE[dict_type] = s
+    return s
+
+
+from functools import lru_cache  # noqa: E402
+
+
+def _ja_han_tile(s: str) -> list[str]:
+    """Pure-Han OOV residue: greedy longest lexicon match at each
+    position (the chunk regex can't see a lexicon word INSIDE a longer
+    Han run — 毎朝新聞 → 毎朝|新聞); non-lexicon gaps of exactly 2 chars
+    are one unknown noun (ipadic char.def KANJI length-2 unknowns:
+    手紙, 英語), other gaps per-character (鑫森淼 → 鑫|森|淼)."""
+    lex = _lexset("ipadic")
+    out: list[str] = []
+    gap = ""
+
+    def flush():
+        nonlocal gap
+        if gap:
+            out.extend([gap] if len(gap) == 2 else list(gap))
+            gap = ""
+
+    i, n = 0, len(s)
+    while i < n:
+        for j in range(n, i, -1):
+            w = s[i:j]
+            if w in lex:
+                flush()
+                out.append(w)
+                i = j
+                break
+        else:
+            gap += s[i]
+            i += 1
+    flush()
+    return out
+
+
+@lru_cache(maxsize=65536)
+def _ja_split(tok: str) -> tuple[str, ...]:
+    """ipadic-style pieces for an OOV Han(+hiragana) chunk.
+
+    Closed-class aux suffixes peel off the end (longest-first, each one
+    an ipadic token) until the stem stops: a single continuative kana
+    directly after the Han run (_JA_STEM_STOP — 書い, 食べ, 買っ, 住ん)
+    stays attached, mirroring ipadic's stem+ending split (働い|て|い|ます).
+    A pure-Han residue of exactly 2 chars is one unknown noun (ipadic
+    char.def KANJI length-2 unknowns: 手紙, 英語); other pure-Han runs
+    fall back per-character (keeps 鑫森淼 → 鑫|森|淼 recall). A サ変 stem
+    (2+ Han + し) splits into noun + し (勉強し → 勉強|し), while single-
+    Han 五段 stems keep し (話し)."""
+    m = _HAN_RUN_RE.match(tok)
+    han_end = m.end()
+    suffixes: list[str] = []
+    s = tok
+    while len(s) > han_end:
+        if len(s) == han_end + 1 and s[-1] in _JA_STEM_STOP:
+            break  # Han + one continuative kana = the stem
+        for a in _JA_AUX:
+            if s.endswith(a) and len(s) - len(a) >= han_end:
+                if a == "い" and s.endswith("しい"):
+                    continue  # 〜しい adjectives (難しい) keep their い
+                suffixes.append(a)
+                s = s[: -len(a)]
+                break
+        else:
+            break
+    if len(s) == han_end:  # pure-Han residue
+        stem = _ja_han_tile(s)
+    elif len(s) == han_end + 1 and s[-1] == "し" and han_end >= 2:
+        stem = [s[:-1], "し"]  # サ変: 勉強し → 勉強|し
+    else:
+        stem = [s]
+    return tuple(stem + suffixes[::-1])
 
 
 def _decompose_table(dict_type: str, threshold: int) -> dict[str, list[str]]:
@@ -201,21 +327,44 @@ def tokenize_lindera(
     ex = s.str.findall(pat).explode().dropna()
     frame = pd.DataFrame({"idx": ex.index.to_numpy(dtype="int64"),
                           "token": ex.to_numpy()})
-    if decompose:
-        table = _decompose_table(dict_type, threshold)
-        if table:
-            mapped = frame["token"].map(lambda t: table.get(t))
-            hit = mapped.notna()
-            if hit.any():
-                frame = frame.assign(
-                    token=mapped.where(hit, frame["token"].map(lambda t: [t]))
-                ).explode("token", ignore_index=True)
+    pieces_of = _pieces_fn(dict_type, decompose, threshold)
+    if pieces_of is not None:
+        mapped = frame["token"].map(pieces_of)
+        hit = mapped.notna()
+        if hit.any():
+            frame = frame.assign(
+                token=mapped.where(hit, frame["token"].map(lambda t: [t]))
+            ).explode("token", ignore_index=True)
     frame["pos"] = frame.groupby("idx").cumcount()
     return frame.reset_index(drop=True)
 
 
-def _offsets_path(s, pat, decompose, threshold, dict_type):
+def _pieces_fn(dict_type: str, decompose: bool, threshold: int):
+    """token → list-of-pieces (or None = keep whole), combining the
+    decompose table (lexicon Han compounds) with the ja OOV chunk
+    splitter. Pieces always concatenate back to the token, so the
+    offsets path can walk them with a running char cursor."""
     table = _decompose_table(dict_type, threshold) if decompose else {}
+    ja = dict_type in _JA_DICTS
+    if not table and not ja:
+        return None
+    lex = _lexset(dict_type)
+
+    def pieces(tok: str):
+        got = table.get(tok)
+        if got is not None:
+            return got
+        if ja and tok not in lex and _HAN_RUN_RE.match(tok):
+            out = _ja_split(tok)
+            if len(out) > 1:
+                return list(out)
+        return None
+
+    return pieces
+
+
+def _offsets_path(s, pat, decompose, threshold, dict_type):
+    pieces_of = _pieces_fn(dict_type, decompose, threshold)
     rows, toks, poss, starts, ends = [], [], [], [], []
     for i, text in enumerate(s):
         # byte offset of char j = cum[j], built in ONE vectorized pass per
@@ -233,7 +382,9 @@ def _offsets_path(s, pat, decompose, threshold, dict_type):
         cum = np.concatenate(([0], np.cumsum(widths)))
         pos = 0
         for m in pat.finditer(text):
-            pieces = table.get(m.group(), [m.group()])
+            pieces = (
+                pieces_of(m.group()) if pieces_of is not None else None
+            ) or [m.group()]
             a = m.start()
             for p in pieces:
                 start_b = int(cum[a])

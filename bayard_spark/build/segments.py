@@ -317,6 +317,14 @@ class SegmentWriter:
         self.log.write(state)
         self._staged_segments = []
         self._staged_tombstones = []
+        # Start a NEW reservation window: the range just committed is now in
+        # id_ranges, so a writer reused across commits (StreamingIngestor
+        # commits per micro-batch: put→commit→put→commit) must not re-check
+        # its own published range against its next staged one (ADVICE r4 —
+        # the stale base raised a spurious reservation-conflict error on the
+        # second non-empty epoch).
+        if self._reserved_next is not None:
+            self._reserved_base = self._reserved_next
         return state
 
     def rollback(self) -> None:

@@ -42,6 +42,16 @@ QUERY_REPS = int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "3"))
 QUERY_SET = [
     ("term", {"kind": "term", "options": {"field": "text", "term": "spark"}}),
     ("term_hot", {"kind": "term", "options": {"field": "text", "term": "the"}}),
+    # Deep pagination draws (VERDICT r4 Next #7): report-only — they carry
+    # request-shape overrides and are EXCLUDED from the p50/p95/QPS
+    # aggregate so the headline latency stays comparable across rounds.
+    # deep_page walks offset past the TakeOrderedAndProject window;
+    # page_fields forces >ISIN_LOOKUP_MAX winners so the stored-field
+    # fetch exercises the broadcast-semi-join branch (engine.py:1043).
+    ("deep_page", {"kind": "term", "options": {"field": "text", "term": "the"}},
+     {"offset": 3000, "hits": 10}),
+    ("page_fields", {"kind": "term", "options": {"field": "text", "term": "the"}},
+     {"hits": 3000, "fields": ["lang"]}),
     ("phrase", {"kind": "phrase", "options": {
         "field": "text", "phrase_terms": ["hash", "join"], "slop": 0}}),
     ("bool_must", {"kind": "boolean", "options": {"subqueries": [
@@ -163,7 +173,7 @@ def run_build(cpus: int, src_parquet: str | None = None) -> dict:
 
 SCALE_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "960000"))
 SCALE_REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
-SCALE_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
+SCALE_ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "5"))
 SCALE_CORES = 2  # cores per executor; N=1 exec vs 4N=4 execs
 SCALE_BUCKETS = 256  # FIXED for both arms: the job is a property of the
 #                      data, not of cluster size (identical logical plan)
@@ -309,13 +319,22 @@ def run_scaling(corpus: str) -> tuple[dict, dict, dict]:
     draw stays visible instead of silently folding into one number.
     """
     rounds: list[dict] = []
-    use_cluster = True
+    # Execution MODE is decided ONCE, by the first round's lo build, and
+    # frozen for the whole run (ADVICE r4: a mid-run flip mixed thread-arm
+    # rounds with exec-arm rounds into one median and could pair an exec
+    # hi draw against a thread lo draw). If local-cluster works round 1
+    # and fails later, that round fails loudly instead of silently
+    # switching estimator semantics.
+    use_cluster: bool | None = None
     for _ in range(SCALE_ROUNDS):
-        if use_cluster:
+        if use_cluster is None:
             try:
                 lo = scaling_build(("exec", 1), corpus, reps=1)
+                use_cluster = True
             except Exception:
                 use_cluster = False
+        elif use_cluster:
+            lo = scaling_build(("exec", 1), corpus, reps=1)
         if not use_cluster:
             lo = scaling_build(LO_CPUS, corpus, reps=1)
             hi = scaling_build(CPUS, corpus, reps=SCALE_REPS)
@@ -327,13 +346,12 @@ def run_scaling(corpus: str) -> tuple[dict, dict, dict]:
             ideal = 4.0
         eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / ideal
         rounds.append({"lo": lo, "hi": hi, "efficiency": round(eff, 3)})
-        effs = [r["efficiency"] for r in rounds]
-        if (
-            len(effs) == 2
-            and abs(effs[0] - effs[1]) <= 0.05
-            and min(effs) >= 0.85
-        ):
-            break  # two clean agreeing draws well over the bar
+        effs = sorted(r["efficiency"] for r in rounds)
+        # early exit only once the MEDIAN itself clears the bar with
+        # margin on ≥4 rounds (VERDICT r4 Next #3: the unbiased estimator
+        # must pass without leaning on per-arm best)
+        if len(effs) >= 4 and statistics.median(effs) >= 0.85:
+            break
     effs = sorted(r["efficiency"] for r in rounds)
     med_eff = statistics.median(effs)
     lo_best = max(rounds, key=lambda r: r["lo"]["docs_per_sec"])["lo"]
@@ -387,16 +405,22 @@ def run_queries(spark, root: str) -> dict:
     engine = SearchEngine(spark, root)
     per_query: dict[str, float] = {}
     lat: list[float] = []
-    for name, q in QUERY_SET:
+    for entry in QUERY_SET:
+        name, q = entry[0], entry[1]
+        overrides = entry[2] if len(entry) > 2 else None
+        req = {"query": q, "collection_kind": "top_docs", "hits": 10}
+        if overrides:
+            req.update(overrides)
         times = []
         for _ in range(QUERY_REPS):
             t0 = time.time()
-            engine.search(
-                {"query": q, "collection_kind": "top_docs", "hits": 10}
-            )
+            engine.search(req)
             times.append(time.time() - t0)
         per_query[name] = round(min(times), 4)
-        lat.extend(times)
+        if overrides is None:
+            # pagination draws are report-only: keeping them out of the
+            # aggregate keeps p50/p95/QPS comparable across rounds
+            lat.extend(times)
     lat.sort()
     # Serving throughput: a search server multiplexes clients, and Spark
     # schedules concurrent actions from threads onto idle cores — the
@@ -404,7 +428,10 @@ def run_queries(spark, root: str) -> dict:
     # engine (one index snapshot), N client threads, each draining the
     # full query-shape set CONCURRENT_ROUNDS times.
     reqs = [
-        q for _ in range(CONCURRENT_ROUNDS) for _name, q in QUERY_SET
+        e[1]
+        for _ in range(CONCURRENT_ROUNDS)
+        for e in QUERY_SET
+        if len(e) == 2  # headline shapes only; pagination is report-only
     ] * 1
 
     def one(q):

@@ -176,3 +176,26 @@ def test_lindera_fidelity_measurement():
     exact = sum(1 for *_, f1 in scores if f1 == 1.0)
     assert macro >= 0.98, f"fidelity regressed: macro F1 {macro:.3f}"
     assert exact >= 11, f"fidelity regressed: exact {exact}/{len(scores)}"
+
+
+def test_lindera_fidelity_dev_and_heldout():
+    """Round-5 floors for the OOV morphology layer (_ja_split):
+    dev set (tests/data/cjk_lindera_heldout.tsv — used to develop the
+    layer) measured 0.969; blind held-out (heldout2.tsv — written after
+    the layer froze, measured once) measured 0.850. Both must not
+    regress. If the segmenter changes, heldout2 becomes dev and a NEW
+    blind set must be written (protocol in tools/cjk_fidelity.py)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from tools.cjk_fidelity import HELDOUT, HELDOUT2, measure
+
+    dev = measure(HELDOUT)
+    dev_macro = sum(f1 for *_, f1 in dev) / len(dev)
+    assert dev_macro >= 0.96, f"dev fidelity regressed: {dev_macro:.3f}"
+    held = measure(HELDOUT2)
+    held_macro = sum(f1 for *_, f1 in held) / len(held)
+    assert held_macro >= 0.84, (
+        f"held-out fidelity regressed: {held_macro:.3f}"
+    )

@@ -360,7 +360,9 @@ class TestUnigramLogprob:
         pa_, pb, pc = 2 / 5, 2 / 5, 1 / 5
         assert abs(rows[1] - (2 * math.log(pa_) + math.log(pb)) / 3) < 1e-12
         assert abs(rows[2] - (math.log(pb) + math.log(pc)) / 2) < 1e-12
-        assert rows[3] == 0.0  # empty doc: no tokens, coalesced
+        # empty doc: no tokens → NULL, not the max-attainable 0.0
+        # (ADVICE r4: 0.0 ranked blank pages as highest-quality)
+        assert rows[3] is None
 
     def test_plan_broadcasts_unigram_table(self, spark):
         from bayard_spark.functions import textstats

@@ -1,12 +1,25 @@
 """Token-level fidelity of analysis/cjk.py vs published Lindera (MeCab
-ipadic) segmentations.
+ipadic) segmentations — TWO metrics (ADVICE r4):
 
-The golden file tests/data/cjk_lindera_golden.tsv holds sentences whose
-true ipadic tokenizations are published (the reference repo's own
-lindera.rs test sentence, the Lindera README examples, and canonical MeCab
-demonstration sentences). Reports per-sentence token multiset F1 and the
-macro average — the honest fidelity number for the dictionary-light
-segmenter (VERDICT r3 #6).
+- tests/data/cjk_lindera_golden.tsv — the reference repo's own lindera.rs
+  test sentence, the Lindera README examples, and canonical MeCab demos.
+  Their vocabulary informed the bundled lexicon, so this measures
+  IN-VOCABULARY fidelity (how well the greedy matcher reproduces ipadic
+  once the words are known), not held-out generalization.
+- tests/data/cjk_lindera_heldout.tsv — 40 everyday sentences with
+  standard MeCab/ipadic segmentations, originally held out. Measured
+  0.661 against the r4 segmenter; the round-5 OOV morphology layer
+  (Han+hiragana chunks with closed-class aux suffix stripping) was then
+  developed while looking at its failures, so this set is now the DEV
+  set (0.969 after the layer) — no longer a held-out claim.
+- tests/data/cjk_lindera_heldout2.tsv — 40 FRESH sentences written
+  after the morphology layer was frozen, segmentations fixed before the
+  first run, measured ONCE: macro token-F1 0.850, exact 21/40. This is
+  the honest current generalization number. Never tune on misses from
+  this file; if the segmenter changes, retire it to dev and write a new
+  blind set.
+
+Reports per-sentence token multiset F1 and the macro average per set.
 
 Usage: python tools/cjk_fidelity.py
 """
@@ -30,10 +43,13 @@ def segment_series(s, dict_type="ipadic", mode="normal"):
         frame[frame["idx"] == i]["token"].tolist() for i in range(len(s))
     ]
 
-GOLDEN = os.path.join(
+_DATA = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "tests", "data", "cjk_lindera_golden.tsv",
+    "tests", "data",
 )
+GOLDEN = os.path.join(_DATA, "cjk_lindera_golden.tsv")
+HELDOUT = os.path.join(_DATA, "cjk_lindera_heldout.tsv")
+HELDOUT2 = os.path.join(_DATA, "cjk_lindera_heldout2.tsv")
 
 
 def sentence_f1(got: list[str], want: list[str]) -> float:
@@ -45,9 +61,10 @@ def sentence_f1(got: list[str], want: list[str]) -> float:
     return 2 * prec * rec / (prec + rec)
 
 
-def measure(dict_type: str = "ipadic", mode: str = "normal"):
+def measure(path: str = GOLDEN, dict_type: str = "ipadic",
+            mode: str = "normal"):
     rows = []
-    with open(GOLDEN) as f:
+    with open(path) as f:
         for line in f:
             text, toks = line.rstrip("\n").split("\t")
             rows.append((text, toks.split("|")))
@@ -60,17 +77,26 @@ def measure(dict_type: str = "ipadic", mode: str = "normal"):
     return scores
 
 
-def main() -> None:
-    scores = measure()
-    for text, got, want, f1 in scores:
-        mark = "OK  " if f1 == 1.0 else f"{f1:.2f}"
-        print(f"{mark} {text}")
-        if f1 < 1.0:
-            print(f"     got  {'|'.join(got)}")
-            print(f"     want {'|'.join(want)}")
+def report(path: str, label: str, verbose: bool = True) -> float:
+    scores = measure(path)
+    if verbose:
+        for text, got, want, f1 in scores:
+            mark = "OK  " if f1 == 1.0 else f"{f1:.2f}"
+            print(f"{mark} {text}")
+            if f1 < 1.0:
+                print(f"     got  {'|'.join(got)}")
+                print(f"     want {'|'.join(want)}")
     macro = sum(f1 for *_, f1 in scores) / len(scores)
     exact = sum(1 for *_, f1 in scores if f1 == 1.0)
-    print(f"\nmacro token-F1 {macro:.3f}; exact {exact}/{len(scores)}")
+    print(f"{label}: macro token-F1 {macro:.3f}; "
+          f"exact {exact}/{len(scores)}\n")
+    return macro
+
+
+def main() -> None:
+    report(GOLDEN, "in-vocabulary (lexicon saw these words)")
+    report(HELDOUT, "dev (held-out until the r5 morphology layer)")
+    report(HELDOUT2, "HELD-OUT (blind; written after the r5 layer froze)")
 
 
 if __name__ == "__main__":
