@@ -7,7 +7,10 @@ stopword-free snowball oracle (tools/snowball_check.py). Validated at
 100% on the probe suite (2,836), a 3,276-word stem x suffix corpus, a
 4,355-word held-out set over fresh stems, and 40,721 random-string
 probes across six seeds (one known divergence: the oracle emits a
-buffer artifact on the degenerate 2-letter stem νε + ανε). Reference
+buffer artifact on the degenerate 2-letter stem νε + ανε). Round 5 adds
+a REAL-WORD held-out set (190 natural noun/verb/adjective inflections
+never in any fitting grid, tools/snowball_vocab/real/greek.txt): 100%
+agreement, pinned in tests/data/snowball/greek_realwords.tsv. Reference
 accepts 'greek' in bayard/src/index/token_filter/stemming.rs:249-265.
 
 Structure: a cascade of suffix steps with per-step exception lists and

@@ -18,7 +18,10 @@ random legal-script sequences across 5 seeds. The residual random-script
 mismatches are pathological pulli-cluster chains (e.g. bare-glide finals
 after consonant clusters) whose resolution depends on snowball's cursor
 state across routine boundaries, which a pure suffix pipeline cannot
-carry; none arise from well-formed morphology.
+carry; none arise from well-formed morphology. Round 5 adds a
+REAL-WORD held-out set (138 natural case/plural/tense inflections
+never in any fitting grid, tools/snowball_vocab/real/tamil.txt): 100%
+agreement, pinned in tests/data/snowball/tamil_realwords.tsv.
 
 Structure (mirrors the published algorithm's routines):
 

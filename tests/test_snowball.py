@@ -17,7 +17,19 @@ from bayard_spark.analysis.snowball import STEMMERS
 
 DATA = os.path.join(os.path.dirname(__file__), "data", "snowball")
 LANGS = sorted(
-    f[:-4] for f in os.listdir(DATA) if f.endswith(".tsv")
+    f[:-4]
+    for f in os.listdir(DATA)
+    if f.endswith(".tsv") and not f.endswith("_realwords.tsv")
+)
+# Real-word held-out sets for the FITTED stemmers (VERDICT r4 Next #8):
+# natural inflected vocabulary never part of any fitting grid, oracle
+# answers pinned from postgres dict_snowball via
+# tools/snowball_realwords.py --dump. 100% agreement measured for all
+# four at pin time.
+REALWORD_LANGS = sorted(
+    f[: -len("_realwords.tsv")]
+    for f in os.listdir(DATA)
+    if f.endswith("_realwords.tsv")
 )
 
 
@@ -33,6 +45,21 @@ def test_golden_pairs(lang):
     assert len(pairs) > 500
     bad = [(w, stem(w), e) for w, e in pairs if stem(w) != e]
     assert not bad, f"{lang}: {len(bad)}/{len(pairs)} mismatches, first: {bad[:5]}"
+
+
+@pytest.mark.parametrize("lang", REALWORD_LANGS)
+def test_realword_heldout_pairs(lang):
+    stem = STEMMERS[lang]
+    with open(os.path.join(DATA, f"{lang}_realwords.tsv")) as f:
+        pairs = [
+            tuple(line.rstrip("\n").split("\t")) for line in f if line.strip()
+        ]
+    assert len(pairs) > 100
+    bad = [(w, stem(w), e) for w, e in pairs if stem(w) != e]
+    assert not bad, (
+        f"{lang} real-word agreement regressed: {len(bad)}/{len(pairs)}"
+        f" mismatches, first: {bad[:5]}"
+    )
 
 
 @pytest.mark.parametrize("lang", LANGS)
