@@ -6,10 +6,18 @@ format come from the first bytes of each container). PNG PIXEL decode is
 real too (decode_png_pixels: stdlib zlib inflate + per-scanline unfilter,
 all five filter types, gray/RGB/palette/alpha color types), so
 image_features(real_decode=True) derives vectors from actual pixels for
-PNG. JPEG/audio/video decode and model-based embeddings remain stubbed
-behind clearly-marked hooks (`MediaDecodeUnavailable`) because those
-codecs genuinely need external libraries (Pillow/torchaudio/pyav) that do
-not ship in this environment — batch shapes don't change when swapped in.
+PNG. Round 5 makes BASELINE JPEG pixel decode real too (functions/
+jpeg.py: Huffman entropy decode → dequant → numpy IDCT → chroma
+upsample → YCbCr→RGB), plus BMP (uncompressed 24/32-bit + palette) and
+GIF first-frame (real LZW with variable code widths and interlace).
+WAV/PCM AUDIO decode is real as well (decode_wav: RIFF chunk walk,
+int 8/16/24/32-bit and IEEE-float samples via numpy views;
+audio_features derives rms/peak/zero-crossings/spectrum from actual
+samples). Progressive JPEG, WebP (VP8), compressed audio (mp3/ogg/flac)
+and video remain stubbed behind clearly-marked hooks
+(`MediaDecodeUnavailable`) because those codecs genuinely need external
+libraries (Pillow/torchaudio/pyav) that do not ship in this
+environment — batch shapes don't change when swapped in.
 
 Design rules for 100 TB of media:
 - media bytes travel ONCE: metadata extraction and feature extraction happen
@@ -231,6 +239,194 @@ def decode_png_pixels(data: bytes) -> np.ndarray:
     return px
 
 
+def decode_bmp_pixels(data: bytes) -> np.ndarray:
+    """REAL dep-free BMP pixel decode: uncompressed BI_RGB at 24/32-bit
+    (BGR[A] rows, 4-byte aligned, bottom-up or top-down) and 8-bit
+    paletted. RLE/bitfield compression raises MediaDecodeUnavailable."""
+    import struct
+
+    if data[:2] != b"BM" or len(data) < 54:
+        raise MediaDecodeUnavailable("not a BMP container")
+    (pix_off,) = struct.unpack("<I", data[10:14])
+    (hdr_size,) = struct.unpack("<I", data[14:18])
+    w, h = struct.unpack("<ii", data[18:26])
+    bits, comp = struct.unpack("<HI", data[28:34])
+    if comp != 0:
+        raise MediaDecodeUnavailable(f"BMP compression {comp} unsupported")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * bits // 8 + 3) & ~3
+    body = data[pix_off:pix_off + stride * h]
+    if len(body) < stride * h:
+        raise MediaDecodeUnavailable("BMP pixel array truncated")
+    rows = np.frombuffer(body, dtype=np.uint8).reshape(h, stride)
+    if bits == 24:
+        px = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR→RGB
+    elif bits == 32:
+        px = rows[:, : w * 4].reshape(h, w, 4)[:, :, [2, 1, 0]]
+    elif bits == 8:
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(
+            data, dtype=np.uint8, count=(pix_off - pal_off), offset=pal_off
+        ).reshape(-1, 4)[:, [2, 1, 0]]  # BGRA entries → RGB
+        px = pal[rows[:, :w]]
+    else:
+        raise MediaDecodeUnavailable(f"BMP bit depth {bits} unsupported")
+    if not top_down:
+        px = px[::-1]
+    return np.ascontiguousarray(px)
+
+
+def decode_gif_pixels(data: bytes) -> np.ndarray:
+    """REAL dep-free GIF pixel decode (GIF87a/89a, first image): LZW
+    decompression with variable code width and dictionary resets, local/
+    global palette, interlace deinterleave. Returns RGB uint8
+    (height, width, 3) for the first frame; later frames need
+    compositing semantics and stay out of scope."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise MediaDecodeUnavailable("not a GIF container")
+    sw = int.from_bytes(data[6:8], "little")
+    sh = int.from_bytes(data[8:10], "little")
+    flags = data[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        size = 2 << (flags & 0x07)
+        gct = np.frombuffer(
+            data, dtype=np.uint8, count=size * 3, offset=pos
+        ).reshape(-1, 3)
+        pos += size * 3
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            ix = int.from_bytes(data[pos + 1:pos + 3], "little")
+            iy = int.from_bytes(data[pos + 3:pos + 5], "little")
+            iw = int.from_bytes(data[pos + 5:pos + 7], "little")
+            ih = int.from_bytes(data[pos + 7:pos + 9], "little")
+            iflags = data[pos + 9]
+            pos += 10
+            pal = gct
+            if iflags & 0x80:
+                size = 2 << (iflags & 0x07)
+                pal = np.frombuffer(
+                    data, dtype=np.uint8, count=size * 3, offset=pos
+                ).reshape(-1, 3)
+                pos += size * 3
+            if pal is None:
+                raise MediaDecodeUnavailable("GIF image without palette")
+            min_code = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < len(data) and data[pos] != 0:
+                n = data[pos]
+                lzw += data[pos + 1:pos + 1 + n]
+                pos += 1 + n
+            idx = _lzw_decode(bytes(lzw), min_code, iw * ih)
+            grid = np.zeros((ih, iw), dtype=np.int64)
+            flat = np.asarray(idx[: iw * ih], dtype=np.int64)
+            if len(flat) < iw * ih:
+                flat = np.pad(flat, (0, iw * ih - len(flat)))
+            rows = flat.reshape(ih, iw)
+            if iflags & 0x40:  # interlaced: 4-pass row order
+                order = (
+                    list(range(0, ih, 8)) + list(range(4, ih, 8))
+                    + list(range(2, ih, 4)) + list(range(1, ih, 2))
+                )
+                grid[order] = rows
+            else:
+                grid = rows
+            out = np.zeros((sh, sw), dtype=np.int64)
+            out[iy:iy + ih, ix:ix + iw] = grid
+            return pal[np.clip(out, 0, len(pal) - 1)]
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            pos += 1
+    raise MediaDecodeUnavailable("GIF contains no image data")
+
+
+def _lzw_decode(buf: bytes, min_code: int, limit: int) -> list[int]:
+    """GIF-flavor LZW: LSB-first variable-width codes, CLEAR resets the
+    dictionary, widths grow at 2^width up to 12 bits."""
+    clear = 1 << min_code
+    end = clear + 1
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width, next_code
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code + 1
+        next_code = end + 1
+
+    width = min_code + 1
+    next_code = end + 1
+    reset()
+    out: list[int] = []
+    acc = 0
+    nbits = 0
+    prev: bytes | None = None
+    for byte in buf:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                reset()
+                prev = None
+                continue
+            if code == end:
+                return out
+            if code < len(table) and (code < clear or table[code]):
+                entry = table[code]
+            elif code == next_code and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise MediaDecodeUnavailable("corrupt GIF LZW stream")
+            out.extend(entry)
+            if prev is not None and next_code < 4096:
+                table.append(prev + entry[:1])
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+            if len(out) >= limit:
+                return out
+    return out
+
+
+def decode_image_pixels(data: bytes) -> np.ndarray:
+    """Container-dispatching REAL pixel decode: PNG via decode_png_pixels,
+    baseline JPEG via functions/jpeg.decode_jpeg_pixels (round 5 — marker
+    walk, Huffman entropy decode, dequant, numpy IDCT, chroma upsample,
+    YCbCr→RGB), BMP via decode_bmp_pixels, GIF first-frame via
+    decode_gif_pixels (real LZW). WebP raises MediaDecodeUnavailable
+    (VP8 needs a real codec)."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png_pixels(data)
+    if data[:2] == b"\xff\xd8":
+        from bayard_spark.functions.jpeg import decode_jpeg_pixels
+
+        try:
+            return decode_jpeg_pixels(data)
+        except NotImplementedError as e:
+            raise MediaDecodeUnavailable(str(e)) from e
+    if data[:2] == b"BM":
+        return decode_bmp_pixels(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_pixels(data)
+    raise MediaDecodeUnavailable(
+        "no dep-free pixel decoder for this container (PNG, baseline "
+        "JPEG, BMP and GIF supported; WebP pixels need a VP8 codec)"
+    )
+
+
 def png_pixel_features(px: np.ndarray, dim: int = 64) -> np.ndarray:
     """Deterministic pixel-derived feature vector: per-channel means/stds,
     a luminance histogram, and coarse 4x4 spatial means — all computed
@@ -265,12 +461,13 @@ def image_features(
 ) -> DataFrame:
     """Feature-extract each image → float vector.
 
-    real_decode=True runs the REAL dep-free PNG pixel decoder
-    (decode_png_pixels: zlib inflate + unfilter) and derives the vector
-    from actual pixels; non-PNG containers raise MediaDecodeUnavailable
-    (JPEG entropy decode genuinely needs an external codec). The default
-    stub path keeps the hash-derived vector so the downstream ANN / dedup
-    pipeline is exercisable on arbitrary bytes.
+    real_decode=True runs the REAL dep-free pixel decoders — PNG
+    (decode_png_pixels: zlib inflate + unfilter) and baseline JPEG
+    (functions/jpeg.py: Huffman entropy decode + IDCT, round 5) — and
+    derives the vector from actual pixels; other containers raise
+    MediaDecodeUnavailable. The default stub path keeps the hash-derived
+    vector so the downstream ANN / dedup pipeline is exercisable on
+    arbitrary bytes.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -280,7 +477,7 @@ def image_features(
                 b = b or b""
                 if real_decode:
                     feats.append(
-                        png_pixel_features(decode_png_pixels(b), dim).tolist()
+                        png_pixel_features(decode_image_pixels(b), dim).tolist()
                     )
                     continue
                 seed = np.frombuffer(
@@ -293,6 +490,146 @@ def image_features(
             yield pd.DataFrame({"asset_id": pdf[id_col], "feature": feats})
 
     return df.select(id_col, bytes_col).mapInPandas(run, FEATURE_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "asset_id long, sample_rate int, n_channels int, n_samples long, "
+    "duration_s double, feature array<float>"
+)
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """REAL dep-free WAV/PCM decode (RIFF WAVE): chunk walk → fmt + data,
+    samples as float64 in [-1, 1], shape (n_frames, n_channels).
+
+    Supports integer PCM (format 1) at 8/16/24/32 bit and IEEE float
+    (format 3) at 32/64 bit — everything numpy can view directly; the
+    per-sample work is one frombuffer + scale, no Python loop. Compressed
+    WAV (ADPCM/mu-law/extensible) and non-WAV containers (mp3/ogg/flac)
+    raise MediaDecodeUnavailable — those genuinely need codec libraries.
+    """
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise MediaDecodeUnavailable("not a RIFF/WAVE container")
+    pos, n = 12, len(data)
+    fmt = None
+    body = None
+    while pos + 8 <= n:
+        cid = data[pos:pos + 4]
+        (clen,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        chunk = data[pos + 8:pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", chunk[:16])
+        elif cid == b"data":
+            body = chunk
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or body is None:
+        raise MediaDecodeUnavailable("WAV missing fmt/data chunk")
+    audio_fmt, channels, rate, _byterate, _align, bits = fmt
+    if channels < 1:
+        raise MediaDecodeUnavailable("WAV declares zero channels")
+    if audio_fmt == 1:  # integer PCM
+        if bits == 8:  # unsigned
+            raw = np.frombuffer(body, dtype=np.uint8).astype(np.float64)
+            samples = (raw - 128.0) / 128.0
+        elif bits == 16:
+            raw = np.frombuffer(body, dtype="<i2").astype(np.float64)
+            samples = raw / 32768.0
+        elif bits == 24:  # 3-byte little-endian, sign-extended via i4 view
+            b3 = np.frombuffer(body, dtype=np.uint8)
+            b3 = b3[: len(b3) - len(b3) % 3].reshape(-1, 3)
+            padded = np.zeros((len(b3), 4), dtype=np.uint8)
+            padded[:, 1:] = b3  # value << 8 keeps the sign bit in place
+            raw = padded.view("<i4").ravel().astype(np.float64) / 256.0
+            samples = raw / 8388608.0
+        elif bits == 32:
+            raw = np.frombuffer(body, dtype="<i4").astype(np.float64)
+            samples = raw / 2147483648.0
+        else:
+            raise MediaDecodeUnavailable(f"PCM bit depth {bits} unsupported")
+    elif audio_fmt == 3:  # IEEE float
+        if bits == 32:
+            samples = np.frombuffer(body, dtype="<f4").astype(np.float64)
+        elif bits == 64:
+            samples = np.frombuffer(body, dtype="<f8").astype(np.float64)
+        else:
+            raise MediaDecodeUnavailable(f"float bit depth {bits} invalid")
+    else:
+        raise MediaDecodeUnavailable(
+            f"WAV format {audio_fmt} (compressed/extensible) needs a codec"
+        )
+    frames = len(samples) // channels
+    return samples[: frames * channels].reshape(frames, channels), int(rate)
+
+
+def wav_audio_features(
+    samples: np.ndarray, rate: int, dim: int = 64
+) -> np.ndarray:
+    """Deterministic features from REAL decoded samples: rms / peak /
+    zero-crossing rate plus a 32-bin log-magnitude spectrum of the first
+    ~1 s (numpy rfft) — the classic cheap audio-quality signals a
+    corpus-cleaning pipeline filters on (silence, clipping, tones)."""
+    mono = samples.mean(axis=1) if samples.ndim == 2 else samples
+    n = len(mono)
+    rms = float(np.sqrt(np.mean(mono**2))) if n else 0.0
+    peak = float(np.max(np.abs(mono))) if n else 0.0
+    zcr = (
+        float(np.mean(np.abs(np.diff(np.signbit(mono).astype(np.int8)))))
+        if n > 1
+        else 0.0
+    )
+    window = mono[: min(n, max(rate, 1))]
+    if len(window):
+        mag = np.abs(np.fft.rfft(window))
+        bins = np.array_split(mag, 32)
+        spec = np.array([np.log1p(b.mean()) if len(b) else 0.0 for b in bins])
+        top = spec.max()
+        if top > 0:
+            spec = spec / top
+    else:
+        spec = np.zeros(32)
+    v = np.concatenate([[rms, peak, zcr], spec])
+    if len(v) < dim:
+        v = np.pad(v, (0, dim - len(v)))
+    return v[:dim].astype(np.float32)
+
+
+def audio_features(
+    df: DataFrame,
+    bytes_col: str = "media",
+    id_col: str = "asset_id",
+    dim: int = 64,
+) -> DataFrame:
+    """One mapInPandas pass over the binary column → typed audio metadata
+    + fixed-size feature vector from REAL decoded WAV/PCM samples (the
+    same travel-once rule as image_metadata: bytes are read in a single
+    pass). Non-WAV/compressed bytes raise MediaDecodeUnavailable — gate
+    upstream on a container sniff if the column is mixed-format."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rates, chans, counts, durs, feats = [], [], [], [], [], []
+            for aid, b in zip(pdf[id_col], pdf[bytes_col]):
+                samples, rate = decode_wav(b or b"")
+                ids.append(aid)
+                rates.append(rate)
+                chans.append(samples.shape[1])
+                counts.append(samples.shape[0])
+                durs.append(samples.shape[0] / rate if rate else 0.0)
+                feats.append(wav_audio_features(samples, rate, dim).tolist())
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "sample_rate": rates,
+                    "n_channels": chans,
+                    "n_samples": counts,
+                    "duration_s": durs,
+                    "feature": feats,
+                }
+            )
+
+    return df.select(id_col, bytes_col).mapInPandas(run, AUDIO_FEATURE_SCHEMA)
 
 
 def sample_video_frames(

@@ -1,0 +1,424 @@
+"""Real baseline-JPEG decode (functions/jpeg.decode_jpeg_pixels) —
+validated by inverting an INDEPENDENT forward encoder written here
+(direct-double-sum FDCT, its own canonical Huffman tables, its own bit
+packer with 0xFF stuffing and restart markers), the same strategy as
+test_png_decode.py. A decoder bug cannot cancel an encoder bug: the two
+sides share no code, only the T.81 spec.
+
+The encoder uses simple VALID tables rather than Annex K's: 12 DC
+symbols at 4 bits, all 256 AC symbols at 9 bits (canonical, prefix-free,
+all-ones never assigned) and a uniform quantizer — any spec-conforming
+decoder accepts them, and they make the roundtrip error bound tight.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from bayard_spark.functions.jpeg import decode_jpeg_pixels
+
+# ---------------------------------------------------------------- encoder
+
+ZZ = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+DC_BITS = 4   # 12 symbols, 4-bit codes
+AC_BITS = 9   # 256 symbols, 9-bit codes (code == symbol)
+
+
+class BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, nbits: int):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def pad(self):
+        while self.nbits:
+            self.write(1, 1)  # spec pads with 1 bits
+
+
+def fdct(block: np.ndarray) -> np.ndarray:
+    """Direct double-sum forward DCT (independent of the decoder's
+    matrix formulation)."""
+    out = np.zeros((8, 8))
+    for u in range(8):
+        for v in range(8):
+            cu = 1 / np.sqrt(2) if u == 0 else 1.0
+            cv = 1 / np.sqrt(2) if v == 0 else 1.0
+            s = 0.0
+            for x in range(8):
+                for y in range(8):
+                    s += block[x, y] * np.cos(
+                        (2 * x + 1) * u * np.pi / 16
+                    ) * np.cos((2 * y + 1) * v * np.pi / 16)
+            out[u, v] = cu * cv * s / 4
+    return out
+
+
+def _mag(v: int) -> tuple[int, int]:
+    """signed value → (category t, t-bit code) per T.81 F.1.2.1.1."""
+    t = int(abs(v)).bit_length()
+    code = v if v >= 0 else v + (1 << t) - 1
+    return t, code
+
+
+def _encode_block(bw: BitWriter, block: np.ndarray, q: int,
+                  pred: list[int]) -> None:
+    coef = np.round(fdct(block) / q).astype(int)
+    zz = [int(coef.flat[ZZ[k]]) for k in range(64)]
+    t, code = _mag(zz[0] - pred[0])
+    pred[0] = zz[0]
+    bw.write(t, DC_BITS)       # DC symbol = category (code == symbol)
+    bw.write(code, t)
+    run = 0
+    last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+    for k in range(1, 64):
+        if k > last_nz:
+            bw.write(0x00, AC_BITS)  # EOB
+            break
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            bw.write(0xF0, AC_BITS)  # ZRL
+            run -= 16
+        t, code = _mag(zz[k])
+        bw.write((run << 4) | t, AC_BITS)
+        bw.write(code, t)
+        run = 0
+    else:
+        pass  # block ended exactly at k=63 with a nonzero — no EOB needed
+
+
+def _plane_blocks(plane: np.ndarray):
+    h, w = plane.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    return padded, ph // 8, pw // 8
+
+
+def encode_jpeg(img: np.ndarray, q: int = 2, subsample: bool = False,
+                restart: int = 0) -> bytes:
+    """img: uint8 (h, w) grayscale or (h, w, 3) RGB → baseline JFIF
+    bytes. subsample=True uses 4:2:0 (2x2 Y blocks per MCU, averaged
+    chroma)."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if gray:
+        planes = [img.astype(np.float64) - 128.0]
+        samp = [(1, 1)]
+    else:
+        f = img.astype(np.float64)
+        y = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+        cb = -0.168736 * f[:, :, 0] - 0.331264 * f[:, :, 1] \
+            + 0.5 * f[:, :, 2]
+        cr = 0.5 * f[:, :, 0] - 0.418688 * f[:, :, 1] \
+            - 0.081312 * f[:, :, 2]
+        if subsample:
+            ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+            cbp = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
+            crp = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
+            cb = cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cr = crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y - 128.0, cb, cr]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    padded = []
+    for p, (sh, sv) in zip(planes, samp):
+        tw, th = mcux * sh * 8, mcuy * sv * 8
+        pp = np.pad(
+            p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"
+        )
+        padded.append(pp)
+
+    out = bytearray(b"\xff\xd8")
+    qtbl = bytes([q] * 64)
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + qtbl
+    nc = 1 if gray else 3
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, nc))
+    for ci in range(nc):
+        sh, sv = samp[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    # DHT: DC table (class 0, id 0): 12 symbols at DC_BITS
+    dc_counts = [0] * 16
+    dc_counts[DC_BITS - 1] = 12
+    dht = bytes([0x00] + dc_counts) + bytes(range(12))
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    # AC table (class 1, id 0): symbols 0..254 at AC_BITS, code == symbol
+    # (DHT counts are single bytes, so 256 is unrepresentable; 0xFF =
+    # run-15/size-15 is never produced by a real encoder)
+    ac_counts = [0] * 16
+    ac_counts[AC_BITS - 1] = 255
+    dht = bytes([0x10] + ac_counts) + bytes(range(255))
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    if restart:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart)
+    sos = bytearray([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    bw = BitWriter()
+    preds = [[0] for _ in range(nc)]
+    mcu = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu and mcu % restart == 0:
+                bw.pad()
+                out += bw.out
+                bw = BitWriter()
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                preds = [[0] for _ in range(nc)]
+            for ci in range(nc):
+                sh, sv = samp[ci]
+                for v in range(sv):
+                    for hh in range(sh):
+                        y0 = (my * sv + v) * 8
+                        x0 = (mx * sh + hh) * 8
+                        _encode_block(
+                            bw, padded[ci][y0:y0 + 8, x0:x0 + 8],
+                            q, preds[ci],
+                        )
+            mcu += 1
+    bw.pad()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ------------------------------------------------------------------ tests
+
+
+def _smooth(h, w, seed=0, chans=None):
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if chans is None else (h, w, chans)
+    img = rng.uniform(0, 255, size=shape)
+    # low-pass: box blur twice so quantization error stays small
+    for axis in (0, 1):
+        img = (np.roll(img, 1, axis) + img + np.roll(img, -1, axis)) / 3
+        img = (np.roll(img, 1, axis) + img + np.roll(img, -1, axis)) / 3
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def test_uniform_gray_is_near_exact():
+    img = np.full((16, 24), 128, dtype=np.uint8)
+    got = decode_jpeg_pixels(encode_jpeg(img, q=2))
+    assert got.shape == (16, 24, 1)
+    assert np.abs(got[:, :, 0].astype(int) - 128).max() <= 1
+
+
+def test_gray_gradient_roundtrip():
+    x = np.linspace(0, 255, 40)
+    img = np.tile(x, (24, 1)).astype(np.uint8)
+    got = decode_jpeg_pixels(encode_jpeg(img, q=2))[:, :, 0]
+    assert got.shape == (24, 40)
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 6
+
+
+def test_gray_smooth_random_roundtrip_odd_dims():
+    img = _smooth(37, 51, seed=1)  # non-multiple-of-8 dims exercise crop
+    got = decode_jpeg_pixels(encode_jpeg(img, q=2))[:, :, 0]
+    assert got.shape == img.shape
+    err = np.abs(got.astype(int) - img.astype(int))
+    assert err.mean() < 2 and err.max() <= 10
+
+
+def test_rgb_444_roundtrip():
+    img = _smooth(32, 32, seed=2, chans=3)
+    got = decode_jpeg_pixels(encode_jpeg(img, q=2))
+    assert got.shape == (32, 32, 3)
+    err = np.abs(got.astype(int) - img.astype(int))
+    assert err.mean() < 3 and err.max() <= 16
+
+
+def test_rgb_420_subsampled_roundtrip():
+    img = _smooth(48, 40, seed=3, chans=3)
+    got = decode_jpeg_pixels(encode_jpeg(img, q=2, subsample=True))
+    assert got.shape == (48, 40, 3)
+    # chroma is 2x2-averaged then nearest-upsampled: allow more error
+    err = np.abs(got.astype(int) - img.astype(int))
+    assert err.mean() < 6 and err.max() <= 48
+
+
+def test_restart_markers_match_unrestarted():
+    img = _smooth(32, 48, seed=4)
+    a = decode_jpeg_pixels(encode_jpeg(img, q=2))
+    b = decode_jpeg_pixels(encode_jpeg(img, q=2, restart=2))
+    assert np.array_equal(a, b)
+
+
+def test_progressive_gated():
+    from bayard_spark.functions.jpeg import MediaDecodeUnavailableJpeg
+
+    img = _smooth(16, 16, seed=5)
+    buf = bytearray(encode_jpeg(img, q=2))
+    i = buf.find(b"\xff\xc0")
+    buf[i + 1] = 0xC2  # claim progressive
+    with pytest.raises(MediaDecodeUnavailableJpeg):
+        decode_jpeg_pixels(bytes(buf))
+
+
+def test_image_features_real_decode_jpeg_spark(spark):
+    from bayard_spark.functions.multimodal import image_features
+
+    img = _smooth(24, 24, seed=6, chans=3)
+    rows = [(1, bytearray(encode_jpeg(img, q=2)))]
+    df = spark.createDataFrame(rows, "asset_id long, media binary")
+    got = image_features(df, real_decode=True).collect()
+    assert len(got) == 1 and len(got[0]["feature"]) == 64
+    # histogram mass sums to ~1 (real pixels, not a hash vector)
+    assert abs(sum(got[0]["feature"][:32]) - 1.0) < 1e-3
+
+
+def test_bmp_24bit_roundtrip():
+    """BMP decode via an independent encoder (bottom-up BGR rows with
+    4-byte stride padding, built with struct here)."""
+    from bayard_spark.functions.multimodal import decode_bmp_pixels
+
+    img = _smooth(13, 21, seed=7, chans=3)  # odd width → stride padding
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = img[y, :, ::-1].tobytes()  # RGB→BGR
+        rows += row + b"\x00" * (stride - len(row))
+    header = b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+    header += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                          len(rows), 2835, 2835, 0, 0)
+    got = decode_bmp_pixels(bytes(header + rows))
+    assert np.array_equal(got, img)
+
+
+# ------------------------------------------------ GIF (independent encoder)
+
+
+def _lzw_encode(indices, min_code):
+    """Independent GIF-LZW encoder: dict-building, LSB-first variable
+    width, CLEAR at start, END at finish."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    width = min_code + 1
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    emit(clear)
+    s = b""
+    for px in indices:
+        c = bytes([px])
+        if s + c in table:
+            s += c
+            continue
+        emit(table[s])
+        if next_code < 4096:
+            table[s + c] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        s = c
+    if s:
+        emit(table[s])
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(img_idx, palette, interlace=False):
+    """palette-index image (h, w) + palette (n, 3) -> GIF89a bytes."""
+    h, w = img_idx.shape
+    n = len(palette)
+    depth = max(2, (n - 1).bit_length())
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (depth - 1), 0, 0])
+    pal = bytearray()
+    for r, g, b in palette:
+        pal += bytes([r, g, b])
+    pal += b"\x00" * ((3 << depth) - len(pal))
+    out += pal
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    out += bytes([0x40 if interlace else 0x00])
+    rows = img_idx
+    if interlace:
+        order = (list(range(0, h, 8)) + list(range(4, h, 8))
+                 + list(range(2, h, 4)) + list(range(1, h, 2)))
+        rows = img_idx[order]
+    min_code = depth
+    out += bytes([min_code])
+    lzw = _lzw_encode(rows.ravel().tolist(), min_code)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_roundtrip():
+    from bayard_spark.functions.multimodal import decode_gif_pixels
+
+    rng = np.random.default_rng(8)
+    palette = rng.integers(0, 256, size=(8, 3)).astype(np.uint8)
+    idx = rng.integers(0, 8, size=(23, 31)).astype(np.uint8)
+    got = decode_gif_pixels(encode_gif(idx, palette))
+    assert got.shape == (23, 31, 3)
+    assert np.array_equal(got, palette[idx])
+
+
+def test_gif_interlaced_roundtrip():
+    from bayard_spark.functions.multimodal import decode_gif_pixels
+
+    rng = np.random.default_rng(9)
+    palette = rng.integers(0, 256, size=(16, 3)).astype(np.uint8)
+    idx = rng.integers(0, 16, size=(19, 13)).astype(np.uint8)
+    got = decode_gif_pixels(encode_gif(idx, palette, interlace=True))
+    assert np.array_equal(got, palette[idx])
+
+
+def test_gif_large_image_dictionary_growth():
+    """Enough pixels to push LZW past several width growths."""
+    from bayard_spark.functions.multimodal import decode_gif_pixels
+
+    rng = np.random.default_rng(10)
+    palette = rng.integers(0, 256, size=(64, 3)).astype(np.uint8)
+    idx = rng.integers(0, 64, size=(64, 64)).astype(np.uint8)
+    got = decode_gif_pixels(encode_gif(idx, palette))
+    assert np.array_equal(got, palette[idx])
