@@ -267,13 +267,16 @@ def _engine_index(spark, sf_dir: str) -> str:
     return root
 
 
-def _engine_search_df(spark, sf_dir: str, query: dict) -> DataFrame:
+def _engine_search_df(
+    spark, sf_dir: str, query: dict, hits: int = 10, offset: int = 0
+) -> DataFrame:
     from bayard_spark.query import SearchEngine
 
     root = _engine_index(spark, sf_dir)
     engine = SearchEngine(spark, root)
     resp = engine.search(
-        {"query": query, "collection_kind": "top_docs", "hits": 10}
+        {"query": query, "collection_kind": "top_docs", "hits": hits,
+         "offset": offset}
     )
     rows = [
         (int(d["id"].rsplit("/", 1)[1]), round(float(d["score"]), 6))
@@ -347,6 +350,51 @@ def q_engine_all_sort(spark, sf_dir):
         for d in resp.documents
     ]
     return spark.createDataFrame(rows, "doc_id long, sort_ts string")
+
+
+def q_engine_query_string(spark, sf_dir):
+    """The full query_string grammar (parens, NOT, ^boost) through the
+    codec engine: parser AST → boolean composition over real decoded
+    blocks. Same oracle SQL as the relational query_string twin.
+    Reference: bayard/src/search/query/query_string.rs:16-40."""
+    return _engine_search_df(
+        spark, sf_dir,
+        {"kind": "query_string",
+         "options": {"query": "(spark OR query) NOT vector join^2",
+                     "default_search_fields": ["text"]}},
+    )
+
+
+def q_engine_phrase_slop(spark, sf_dir):
+    """Slop-1 phrase through the codec engine: tf counts start positions
+    p0 of 'hash' from which some 'join' lies in (p0, p0+2] — the
+    backward-reachability sweep over real decoded position arrays
+    (phrase.rs:13-33 slop semantics)."""
+    return _engine_search_df(
+        spark, sf_dir,
+        {"kind": "phrase",
+         "options": {"field": "text", "phrase_terms": ["hash", "join"],
+                     "slop": 1}},
+    )
+
+
+def q_engine_offset_page(spark, sf_dir):
+    """Deep pagination under the oracle: a middle page of the 'spark'
+    ranking (offset 12, 10 hits) — the offset ride through
+    TakeOrderedAndProject must select the same row SET as SQL
+    LIMIT/OFFSET over the same (score DESC, doc_id ASC) order
+    (client.rs:843-844 coordinator offset push-down). The offset is
+    chosen so both page BOUNDARIES fall on real score gaps (≥3e-5): a
+    bit-exact score tie straddling a boundary is resolved by f64 ulps
+    that legitimately differ between two engines' expression orders, so
+    a boundary-tie page would compare one element of the tie against
+    the other. Ties INSIDE the page are fine — the driver's value hash
+    is order-insensitive."""
+    return _engine_search_df(
+        spark, sf_dir,
+        {"kind": "term", "options": {"field": "text", "term": "spark"}},
+        hits=10, offset=12,
+    )
 
 
 def q_unigram_logprob(spark, sf_dir):
@@ -853,6 +901,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_phrase_bm25": q_engine_phrase_bm25,
         "engine_bool_must": q_engine_bool_must,
         "engine_all_sort": q_engine_all_sort,
+        "engine_query_string": q_engine_query_string,
+        "engine_phrase_slop": q_engine_phrase_slop,
+        "engine_offset_page": q_engine_offset_page,
         "streaming_upsert": q_streaming_upsert,
         "phrase_bm25": q_phrase_bm25,
         "bool_must": q_bool_must,
@@ -913,6 +964,39 @@ ORDER BY doc_id
     sqls["streaming_upsert"] = (
         "SELECT count(*) AS total_hits FROM documents WHERE doc_id % 5 = 0"
     )
+
+    # page 3 of the term ranking: identical scoring CTE, LIMIT/OFFSET over
+    # the same (score DESC, doc_id ASC) total order the engine pushes into
+    # TakeOrderedAndProject. Ordering is by the EXACT score expression,
+    # not the rounded display value: two docs can round to the same 6-dec
+    # score at a page boundary while their exact f64 scores order them —
+    # the engine sorts exact, so the oracle must too.
+    sqls["engine_offset_page"] = (
+        _term_sql("spark")
+        .replace("ORDER BY score DESC", f"ORDER BY {_SCORE} DESC")
+        .replace("LIMIT 10", "LIMIT 10 OFFSET 12")
+    )
+
+    # slop-1 phrase: tf = count of 'hash' start positions with some
+    # 'join' in (p0, p0+2]; idf = sum of the constituent idfs
+    sqls["engine_phrase_slop"] = f"""
+{_PRELUDE},
+t1 AS (SELECT doc_id, pos FROM tok WHERE term = 'hash'),
+t2 AS (SELECT doc_id, pos FROM tok WHERE term = 'join'),
+starts AS (SELECT DISTINCT t1.doc_id AS doc_id, t1.pos AS pos
+           FROM t1 JOIN t2 ON t1.doc_id = t2.doc_id
+           AND t2.pos > t1.pos AND t2.pos <= t1.pos + 2),
+tf AS (SELECT doc_id, count(*) AS tf FROM starts GROUP BY doc_id),
+d1 AS (SELECT count(DISTINCT doc_id) AS df1 FROM tok WHERE term = 'hash'),
+d2 AS (SELECT count(DISTINCT doc_id) AS df2 FROM tok WHERE term = 'join')
+SELECT tf.doc_id AS doc_id,
+       round((ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5))
+            + ln(1.0 + (n_docs - df2 + 0.5) / (df2 + 0.5)))
+            * ((tf * {K1 + 1.0}) / (tf + {K1} * (1.0 - {B} + {B} * len / avg_len))), 6)
+         AS score
+FROM tf, d1, d2, stats JOIN nrm ON nrm.doc_id = tf.doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
 
     sqls["engine_phrase_bm25"] = sqls["phrase_bm25"] = f"""
 {_PRELUDE},
@@ -1021,6 +1105,8 @@ WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM tok WHERE term = 'vector')
 GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC LIMIT 10
 """
+    # the same grammar evaluated through the codec engine (round 5)
+    sqls["engine_query_string"] = sqls["query_string"]
 
     sqls["range_filter"] = """
 SELECT doc_id, n_chars FROM documents
