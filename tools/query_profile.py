@@ -27,13 +27,15 @@ def main() -> None:
     engine = SearchEngine(spark, root)
     print(f"engine init {time.time() - t0:.3f}s")
     total_best = 0.0
-    for name, q in bench.QUERY_SET:
+    for entry in bench.QUERY_SET:
+        name, q = entry[0], entry[1]
+        req = {"query": q, "collection_kind": "top_docs", "hits": 10}
+        if len(entry) > 2:
+            req.update(entry[2])
         times = []
         for _ in range(reps):
             t0 = time.time()
-            engine.search(
-                {"query": q, "collection_kind": "top_docs", "hits": 10}
-            )
+            engine.search(req)
             times.append(time.time() - t0)
         total_best += min(times)
         print(f"{name:14s} best {min(times):.3f}  all "
