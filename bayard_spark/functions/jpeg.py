@@ -179,6 +179,13 @@ def decode_jpeg_pixels(data: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             restart = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:  # SOS — entropy data follows
+            if scan is not None:
+                # multi-scan sequential (one SOS per component subset):
+                # decoding only the first scan would emit silently-wrong
+                # planes — refuse instead
+                raise MediaDecodeUnavailableJpeg(
+                    "multi-scan sequential JPEG unsupported"
+                )
             ns = body[0]
             scan_comps = []
             for c in range(ns):
@@ -207,6 +214,10 @@ def decode_jpeg_pixels(data: bytes) -> np.ndarray:
 
 def _decode_scan(frame, scan, scan_comps, qt, huff, restart):
     w, h, comps = frame["w"], frame["h"], frame["comps"]
+    if len(scan_comps) != len(comps):
+        raise MediaDecodeUnavailableJpeg(
+            "non-interleaved scan (subset of frame components) unsupported"
+        )
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = -(-w // (8 * hmax))
