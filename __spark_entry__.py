@@ -397,6 +397,67 @@ def q_engine_offset_page(spark, sf_dir):
     )
 
 
+def q_engine_fuzzy(spark, sf_dir):
+    """Fuzzy expansion through the codec engine: metadata-only dictionary
+    scan → Levenshtein ≤1 matches of 'joinz' → one decode pass,
+    should-sum scoring (fuzzy_term.rs:5-39). Oracle twin: the relational
+    expansion SQL."""
+    return _engine_search_df(
+        spark, sf_dir,
+        {"kind": "fuzzy_term",
+         "options": {"field": "text", "term": "joinz", "distance": 1}},
+    )
+
+
+def q_engine_regex(spark, sf_dir):
+    """Regex expansion through the codec engine: dictionary fullmatch of
+    jo[a-z]* (regex.rs:12-25), then the same multi-term should-sum."""
+    return _engine_search_df(
+        spark, sf_dir,
+        {"kind": "regex",
+         "options": {"field": "text", "regex": "jo[a-z]*"}},
+    )
+
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN under the driver oracle: centroids = the 8 vectors with
+    smallest md5-derived key (oracle-reproducible sampling — the
+    production deterministic_centroids uses xxhash64, which DuckDB can't
+    mirror; sampling is a parameter, the probed-search path is the real
+    one), assignment = argmax cosine via the production mapInPandas
+    kernel (functions/similarity.ivf_assign), search = nprobe=2 nearest
+    cells then exact cosine top-k within (ivf_search). The oracle
+    replays centroid choice, cell assignment and probing in SQL, so the
+    approximate result is bit-compared, not recall-compared."""
+    import numpy as np
+
+    from bayard_spark.functions.similarity import ivf_assign, ivf_search
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    crows = (
+        emb.withColumn("_h", _pmd5(F.col("vec_id").cast("string")))
+        .orderBy("_h", "vec_id")
+        .limit(8)
+        .collect()
+    )
+    centroids = np.asarray([r["embedding"] for r in crows], dtype=np.float64)
+    qrow = emb.filter(F.col("vec_id") == 0).collect()[0]
+    assigned = ivf_assign(emb, centroids)
+    # k=11: the query vector itself may occupy one slot of the probed
+    # top-k; dropping it afterwards must still leave 10 true neighbors
+    out = ivf_search(
+        assigned, centroids, list(qrow["embedding"]), k=11, nprobe=2
+    )
+    return (
+        out.filter(F.col("vec_id") != 0)
+        .select("vec_id", F.round("cosine", 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
 def q_unigram_logprob(spark, sf_dir):
     """Corpus-LM quality proxy: per-doc mean unigram log-prob under the
     corpus's own term distribution (functions/textstats.unigram_logprob) —
@@ -904,6 +965,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_query_string": q_engine_query_string,
         "engine_phrase_slop": q_engine_phrase_slop,
         "engine_offset_page": q_engine_offset_page,
+        "engine_fuzzy": q_engine_fuzzy,
+        "engine_regex": q_engine_regex,
+        "ann_ivf": q_ann_ivf,
         "streaming_upsert": q_streaming_upsert,
         "phrase_bm25": q_phrase_bm25,
         "bool_must": q_bool_must,
@@ -1086,6 +1150,10 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 
     sqls["regex_terms"] = _exp_sql("regexp_matches(term, '^jo[a-z]*$')")
     sqls["fuzzy_terms"] = _exp_sql("levenshtein(term, 'joinz') <= 1")
+    # the same expansions answered by the codec engine (round 5): the
+    # engine scans ITS dictionary (block metadata) and decodes real blocks
+    sqls["engine_fuzzy"] = sqls["fuzzy_terms"]
+    sqls["engine_regex"] = sqls["regex_terms"]
 
     # hand-expanded boolean for '(spark OR query) NOT vector join^2':
     # should( should(spark) + should(query) ), must_not(vector),
@@ -1244,6 +1312,55 @@ SELECT dots.vec_id AS vec_id, round(dot / (nrm * qn), 6) AS cosine
 FROM dots JOIN nrms ON dots.vec_id = nrms.vec_id, qn
 WHERE dots.vec_id <> 0
 ORDER BY cosine DESC, vec_id ASC LIMIT 10
+"""
+
+    # IVF ANN: replay centroid sampling (md5-key order), cell assignment
+    # (argmax cosine, ties -> lowest centroid index = numpy argmax), the
+    # nprobe=2 probe choice, and the exact in-cell cosine top-k. Ordering
+    # is by the EXACT cosine expression (rounding only for display).
+    _pm = ("CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) "
+           "AS BIGINT)")
+    sqls["ann_ivf"] = f"""
+WITH flat AS (
+  SELECT vec_id, i - 1 AS i, embedding[i]::DOUBLE AS v
+  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+),
+cent AS (
+  SELECT vec_id AS cid, row_number() OVER (ORDER BY {_pm}, vec_id) - 1 AS cidx
+  FROM embeddings ORDER BY {_pm}, vec_id LIMIT 8
+),
+cflat AS (SELECT cent.cidx, f.i, f.v FROM cent JOIN flat f ON f.vec_id = cent.cid),
+cnorm AS (SELECT cidx, sqrt(sum(v * v)) AS cn FROM cflat GROUP BY cidx),
+vnorm AS (SELECT vec_id, sqrt(sum(v * v)) AS vn FROM flat GROUP BY vec_id),
+dots AS (SELECT f.vec_id, c.cidx, sum(f.v * c.v) AS d
+         FROM flat f JOIN cflat c ON f.i = c.i GROUP BY f.vec_id, c.cidx),
+assign AS (
+  SELECT vec_id, cidx FROM (
+    SELECT d.vec_id, d.cidx,
+           row_number() OVER (PARTITION BY d.vec_id
+                              ORDER BY d.d / (vnorm.vn * cnorm.cn) DESC,
+                                       d.cidx ASC) AS rn
+    FROM dots d
+    JOIN vnorm ON vnorm.vec_id = d.vec_id
+    JOIN cnorm ON cnorm.cidx = d.cidx
+  ) WHERE rn = 1
+),
+qd AS (SELECT c.cidx, sum(q.v * c.v) AS d
+       FROM flat q JOIN cflat c ON q.i = c.i
+       WHERE q.vec_id = 0 GROUP BY c.cidx),
+probes AS (SELECT qd.cidx FROM qd JOIN cnorm USING (cidx)
+           ORDER BY qd.d / cnorm.cn DESC, qd.cidx ASC LIMIT 2),
+cand AS (SELECT a.vec_id FROM assign a JOIN probes p ON a.cidx = p.cidx),
+qdot AS (SELECT f.vec_id, sum(f.v * q.v) AS d
+         FROM flat f JOIN flat q ON f.i = q.i AND q.vec_id = 0
+         WHERE f.vec_id IN (SELECT vec_id FROM cand)
+         GROUP BY f.vec_id),
+qn AS (SELECT vn AS qn FROM vnorm WHERE vec_id = 0)
+SELECT qdot.vec_id AS vec_id,
+       round(qdot.d / (vnorm.vn * qn.qn), 6) AS cosine
+FROM qdot JOIN vnorm ON vnorm.vec_id = qdot.vec_id, qn
+WHERE qdot.vec_id <> 0
+ORDER BY qdot.d / (vnorm.vn * qn.qn) DESC, vec_id ASC LIMIT 10
 """
 
     sqls["events_daily"] = """
