@@ -422,3 +422,20 @@ def test_gif_large_image_dictionary_growth():
     idx = rng.integers(0, 64, size=(64, 64)).astype(np.uint8)
     got = decode_gif_pixels(encode_gif(idx, palette))
     assert np.array_equal(got, palette[idx])
+
+
+@pytest.mark.parametrize("h,w,q,sub", [
+    (8, 8, 1, False), (16, 24, 8, False), (33, 17, 4, False),
+    (40, 56, 2, True), (17, 9, 8, True),
+])
+def test_jpeg_roundtrip_sweep(h, w, q, sub):
+    """Parameter sweep over dims (incl. non-multiples of 8 and of the
+    4:2:0 MCU), quantizer strength, and subsampling."""
+    img = _smooth(h, w, seed=h * 100 + w, chans=3)
+    got = decode_jpeg_pixels(encode_jpeg(img, q=q, subsample=sub))
+    assert got.shape == (h, w, 3)
+    err = np.abs(got.astype(int) - img.astype(int))
+    # error scales with quantizer; chroma subsampling adds its own
+    bound = 8 * q + (40 if sub else 0)
+    assert err.max() <= bound, (err.max(), bound)
+    assert err.mean() < 2 * q + (6 if sub else 0)
