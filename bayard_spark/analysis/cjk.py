@@ -188,13 +188,13 @@ def _lexset(dict_type: str) -> frozenset:
 from functools import lru_cache  # noqa: E402
 
 
-def _ja_han_tile(s: str) -> list[str]:
+def _ja_han_tile(s: str, dict_type: str) -> list[str]:
     """Pure-Han OOV residue: greedy longest lexicon match at each
     position (the chunk regex can't see a lexicon word INSIDE a longer
     Han run — 毎朝新聞 → 毎朝|新聞); non-lexicon gaps of exactly 2 chars
     are one unknown noun (ipadic char.def KANJI length-2 unknowns:
     手紙, 英語), other gaps per-character (鑫森淼 → 鑫|森|淼)."""
-    lex = _lexset("ipadic")
+    lex = _lexset(dict_type)
     out: list[str] = []
     gap = ""
 
@@ -221,7 +221,7 @@ def _ja_han_tile(s: str) -> list[str]:
 
 
 @lru_cache(maxsize=65536)
-def _ja_split(tok: str) -> tuple[str, ...]:
+def _ja_split(tok: str, dict_type: str = "ipadic") -> tuple[str, ...]:
     """ipadic-style pieces for an OOV Han(+hiragana) chunk.
 
     Closed-class aux suffixes peel off the end (longest-first, each one
@@ -250,7 +250,7 @@ def _ja_split(tok: str) -> tuple[str, ...]:
         else:
             break
     if len(s) == han_end:  # pure-Han residue
-        stem = _ja_han_tile(s)
+        stem = _ja_han_tile(s, dict_type)
     elif len(s) == han_end + 1 and s[-1] == "し" and han_end >= 2:
         stem = [s[:-1], "し"]  # サ変: 勉強し → 勉強|し
     else:
@@ -355,7 +355,7 @@ def _pieces_fn(dict_type: str, decompose: bool, threshold: int):
         if got is not None:
             return got
         if ja and tok not in lex and _HAN_RUN_RE.match(tok):
-            out = _ja_split(tok)
+            out = _ja_split(tok, dict_type)
             if len(out) > 1:
                 return list(out)
         return None

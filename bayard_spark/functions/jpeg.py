@@ -152,6 +152,12 @@ def decode_jpeg_pixels(data: bytes) -> np.ndarray:
             h = struct.unpack(">H", body[1:3])[0]
             w = struct.unpack(">H", body[3:5])[0]
             nc = body[5]
+            if nc not in (1, 3):
+                # 4-component Adobe CMYK/YCCK would decode as silently
+                # wrong YCbCr; the contract is 1 (gray) or 3 (RGB)
+                raise MediaDecodeUnavailableJpeg(
+                    f"{nc}-component JPEG (CMYK/YCCK) unsupported"
+                )
             comps = []
             for c in range(nc):
                 cid = body[6 + 3 * c]
@@ -195,13 +201,18 @@ def decode_jpeg_pixels(data: bytes) -> np.ndarray:
                     {"cs": cs, "td": tda >> 4, "ta": tda & 0x0F}
                 )
             scan_start = i + 2 + seglen
-            # entropy segment runs to the next non-RST marker
+            # entropy segment runs to the next non-RST marker; a 0xFF
+            # followed by another 0xFF is a spec-legal fill byte before
+            # a marker (T.81 B.1.1.2), not end-of-scan
             j = scan_start
             while j + 1 < n:
-                if data[j] == 0xFF and data[j + 1] not in (0x00,) and not (
-                    0xD0 <= data[j + 1] <= 0xD7
-                ):
-                    break
+                if data[j] == 0xFF:
+                    nxt = data[j + 1]
+                    if nxt == 0xFF:
+                        j += 1
+                        continue
+                    if nxt != 0x00 and not (0xD0 <= nxt <= 0xD7):
+                        break
                 j += 1
             scan = data[scan_start:j]
             i = j
@@ -250,6 +261,9 @@ def _decode_scan(frame, scan, scan_comps, qt, huff, restart):
                     seg.append(0xFF)
                     j += 2
                     continue
+                if nxt == 0xFF:  # fill byte before a marker — drop it
+                    j += 1
+                    continue
                 if 0xD0 <= nxt <= 0xD7:
                     segments.append(bytes(seg))
                     seg = bytearray()
@@ -267,7 +281,15 @@ def _decode_scan(frame, scan, scan_comps, qt, huff, restart):
     for my in range(mcuy):
         for mx in range(mcux):
             if restart and mcu_count and mcu_count % restart == 0:
-                reader = _BitReader(next(seg_iter))
+                try:
+                    reader = _BitReader(next(seg_iter))
+                except StopIteration:
+                    # fewer RST segments than DRI implies (truncated or
+                    # corrupt stream) — fail typed, never let a bare
+                    # StopIteration escape into generator frames
+                    raise MediaDecodeUnavailableJpeg(
+                        "restart marker missing (truncated scan)"
+                    ) from None
                 pred = {c["id"]: 0 for c in comps}
             for entry in order:
                 c, q = entry["c"], entry["q"]
@@ -281,9 +303,16 @@ def _decode_scan(frame, scan, scan_comps, qt, huff, restart):
                         x0 = (mx * c["h"] + hh) * 8
                         planes[c["id"]][y0:y0 + 8, x0:x0 + 8] = blk
             mcu_count += 1
-    # upsample to full resolution and crop
+    # upsample to full resolution and crop; only integer ratios are
+    # supported (3:2-style fractional sampling is spec-legal but rare —
+    # fail typed rather than emit wrong-size planes)
     full = []
     for c in comps:
+        if vmax % c["v"] or hmax % c["h"]:
+            raise MediaDecodeUnavailableJpeg(
+                f"non-integer sampling ratio {vmax}/{c['v']}x"
+                f"{hmax}/{c['h']} unsupported"
+            )
         p = planes[c["id"]]
         p = np.repeat(np.repeat(p, vmax // c["v"], axis=0),
                       hmax // c["h"], axis=1)

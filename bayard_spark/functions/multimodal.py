@@ -249,6 +249,13 @@ def decode_bmp_pixels(data: bytes) -> np.ndarray:
         raise MediaDecodeUnavailable("not a BMP container")
     (pix_off,) = struct.unpack("<I", data[10:14])
     (hdr_size,) = struct.unpack("<I", data[14:18])
+    if hdr_size < 40:
+        # BITMAPCOREHEADER (12 bytes): 2-byte dims, 3-byte palette —
+        # different layout entirely; parsing it as BITMAPINFOHEADER
+        # would read garbage dims
+        raise MediaDecodeUnavailable(
+            f"BMP header size {hdr_size} (core/OS2) unsupported"
+        )
     w, h = struct.unpack("<ii", data[18:26])
     bits, comp = struct.unpack("<HI", data[28:34])
     if comp != 0:
@@ -266,10 +273,13 @@ def decode_bmp_pixels(data: bytes) -> np.ndarray:
         px = rows[:, : w * 4].reshape(h, w, 4)[:, :, [2, 1, 0]]
     elif bits == 8:
         pal_off = 14 + hdr_size
+        n_entries = max(0, (pix_off - pal_off)) // 4  # BGRA, 4 B each
+        if n_entries == 0:
+            raise MediaDecodeUnavailable("8-bit BMP without a palette")
         pal = np.frombuffer(
-            data, dtype=np.uint8, count=(pix_off - pal_off), offset=pal_off
+            data, dtype=np.uint8, count=n_entries * 4, offset=pal_off
         ).reshape(-1, 4)[:, [2, 1, 0]]  # BGRA entries → RGB
-        px = pal[rows[:, :w]]
+        px = pal[np.minimum(rows[:, :w], n_entries - 1)]
     else:
         raise MediaDecodeUnavailable(f"BMP bit depth {bits} unsupported")
     if not top_down:
@@ -288,6 +298,7 @@ def decode_gif_pixels(data: bytes) -> np.ndarray:
     sw = int.from_bytes(data[6:8], "little")
     sh = int.from_bytes(data[8:10], "little")
     flags = data[10]
+    bg_index = data[11]  # background color fills uncovered screen area
     pos = 13
     gct = None
     if flags & 0x80:
@@ -310,6 +321,10 @@ def decode_gif_pixels(data: bytes) -> np.ndarray:
             ih = int.from_bytes(data[pos + 7:pos + 9], "little")
             iflags = data[pos + 9]
             pos += 10
+            if ix + iw > sw or iy + ih > sh:
+                raise MediaDecodeUnavailable(
+                    "GIF frame exceeds logical screen"
+                )
             pal = gct
             if iflags & 0x80:
                 size = 2 << (iflags & 0x07)
@@ -340,7 +355,9 @@ def decode_gif_pixels(data: bytes) -> np.ndarray:
                 grid[order] = rows
             else:
                 grid = rows
-            out = np.zeros((sh, sw), dtype=np.int64)
+            out = np.full(
+                (sh, sw), min(bg_index, len(pal) - 1), dtype=np.int64
+            )
             out[iy:iy + ih, ix:ix + iw] = grid
             return pal[np.clip(out, 0, len(pal) - 1)]
         elif b == 0x3B:  # trailer
@@ -520,6 +537,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         (clen,) = struct.unpack("<I", data[pos + 4:pos + 8])
         chunk = data[pos + 8:pos + 8 + clen]
         if cid == b"fmt ":
+            if len(chunk) < 16:
+                raise MediaDecodeUnavailable("WAV fmt chunk truncated")
             fmt = struct.unpack("<HHIIHH", chunk[:16])
         elif cid == b"data":
             body = chunk
@@ -529,6 +548,12 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     audio_fmt, channels, rate, _byterate, _align, bits = fmt
     if channels < 1:
         raise MediaDecodeUnavailable("WAV declares zero channels")
+    # a truncated data chunk (declared length past EOF) yields a body
+    # that isn't sample-aligned — decode the aligned prefix rather than
+    # dying with an untyped numpy buffer-size error
+    if bits in (8, 16, 24, 32, 64):
+        bps = bits // 8
+        body = body[: len(body) - len(body) % bps]
     if audio_fmt == 1:  # integer PCM
         if bits == 8:  # unsigned
             raw = np.frombuffer(body, dtype=np.uint8).astype(np.float64)

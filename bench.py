@@ -313,10 +313,12 @@ def run_scaling(corpus: str) -> tuple[dict, dict, dict]:
     all-lo-then-all-hi order that bias lands entirely on one arm and
     corrupts the ratio (measured 0.671 on a perturbed run vs ~0.88 clean).
     Pairing makes box-wide noise common-mode within a round, and the median
-    trims a round that still caught a one-sided burst. If the first two
-    rounds agree (±0.05) and both clear the 0.8 bar with margin, the third
-    is skipped. Per-round numbers are emitted in the JSON so a perturbed
-    draw stays visible instead of silently folding into one number.
+    trims a round that still caught a one-sided burst. SCALE_ROUNDS
+    (default 5) rounds run; the loop exits early only once ≥4 rounds are
+    in AND their median clears 0.85 (the unbiased estimator must pass
+    with margin before any round is skipped). Per-round numbers are
+    emitted in the JSON so a perturbed draw stays visible instead of
+    silently folding into one number.
     """
     rounds: list[dict] = []
     # Execution MODE is decided ONCE, by the first round's lo build, and

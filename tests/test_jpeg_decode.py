@@ -439,3 +439,73 @@ def test_jpeg_roundtrip_sweep(h, w, q, sub):
     bound = 8 * q + (40 if sub else 0)
     assert err.max() <= bound, (err.max(), bound)
     assert err.mean() < 2 * q + (6 if sub else 0)
+
+
+def test_cmyk_component_count_gated():
+    from bayard_spark.functions.jpeg import MediaDecodeUnavailableJpeg
+
+    img = _smooth(16, 16, seed=11, chans=3)
+    buf = bytearray(encode_jpeg(img, q=2))
+    i = buf.find(b"\xff\xc0")
+    # SOF0 body: len(2) prec(1) h(2) w(2) nc(1) — claim 4 components
+    buf[i + 9] = 4
+    with pytest.raises(MediaDecodeUnavailableJpeg):
+        decode_jpeg_pixels(bytes(buf))
+
+
+def test_fill_bytes_before_rst_markers():
+    """T.81 B.1.1.2: markers may be preceded by 0xFF fill bytes; the
+    scan-boundary detector and the restart destuffer must treat FF FF
+    as fill, not end-of-scan."""
+    img = _smooth(32, 48, seed=12)
+    plain = encode_jpeg(img, q=2, restart=2)
+    # inject a fill byte before every RST marker
+    stuffed = bytearray()
+    j = 0
+    while j < len(plain):
+        if (plain[j] == 0xFF and j + 1 < len(plain)
+                and 0xD0 <= plain[j + 1] <= 0xD7):
+            stuffed += b"\xff"
+        stuffed.append(plain[j])
+        j += 1
+    got_plain = decode_jpeg_pixels(plain)
+    got_stuffed = decode_jpeg_pixels(bytes(stuffed))
+    assert np.array_equal(got_plain, got_stuffed)
+
+
+def test_missing_restart_segment_gated():
+    from bayard_spark.functions.jpeg import MediaDecodeUnavailableJpeg
+
+    img = _smooth(32, 48, seed=13)
+    buf = encode_jpeg(img, q=2, restart=1)
+    # truncate right after the first RST marker: later restart switches
+    # must fail typed, not with a bare StopIteration
+    i = buf.find(b"\xff\xd0")
+    with pytest.raises(MediaDecodeUnavailableJpeg):
+        decode_jpeg_pixels(buf[: i + 2] + b"\xff\xd9")
+
+
+def test_gif_background_fill_and_oversize_gate():
+    from bayard_spark.functions.multimodal import (
+        MediaDecodeUnavailable,
+        decode_gif_pixels,
+    )
+
+    rng = np.random.default_rng(14)
+    palette = rng.integers(0, 256, size=(8, 3)).astype(np.uint8)
+    idx = rng.integers(0, 8, size=(4, 4)).astype(np.uint8)
+    gif = bytearray(encode_gif(idx, palette))
+    # enlarge the logical screen to 8x8 and set background index 5: the
+    # uncovered area must fill with palette[5], not palette[0]
+    gif[6:8] = struct.pack("<H", 8)
+    gif[8:10] = struct.pack("<H", 8)
+    gif[11] = 5
+    got = decode_gif_pixels(bytes(gif))
+    assert got.shape == (8, 8, 3)
+    assert np.array_equal(got[:4, :4], palette[idx])
+    assert np.array_equal(got[6, 6], palette[5])
+    # a frame exceeding the screen fails typed
+    bad = bytearray(encode_gif(idx, palette))
+    bad[6:8] = struct.pack("<H", 2)  # screen narrower than the frame
+    with pytest.raises(MediaDecodeUnavailable):
+        decode_gif_pixels(bytes(bad))

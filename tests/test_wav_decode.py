@@ -155,3 +155,22 @@ def test_audio_features_spark_end_to_end(spark):
     assert abs(got[2]["duration_s"] - 0.25) < 1e-9
     assert abs(got[1]["feature"][0] - 0.5 / np.sqrt(2)) < 1e-3
     assert len(got[1]["feature"]) == 64
+
+
+def test_truncated_data_chunk_decodes_aligned_prefix():
+    rate = 8000
+    sig = sine(440, rate, 0.1)
+    buf = encode_wav(sig, rate, bits=16)
+    # chop one byte off the end: the declared data length now exceeds
+    # the bytes present and the body is sample-misaligned
+    got, r = decode_wav(buf[:-1])
+    assert r == rate and len(got) == len(sig) - 1
+
+
+def test_truncated_fmt_chunk_gated():
+    import struct as _s
+
+    bad = (b"RIFF" + _s.pack("<I", 20) + b"WAVE"
+           + b"fmt " + _s.pack("<I", 8) + b"\x01\x00\x01\x00data")
+    with pytest.raises(MediaDecodeUnavailable):
+        decode_wav(bad)
