@@ -154,6 +154,7 @@ def unigram_logprob(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_vocab_max: int = 2_000_000,
+    vocab_count: int | None = None,
 ) -> DataFrame:
     """Corpus-LM quality proxy (the CCNet-style filter signal): per-doc
     mean unigram log-probability under the corpus's OWN term distribution.
@@ -172,6 +173,10 @@ def unigram_logprob(
     job at plan time); a web-scale vocabulary (~10^8 terms is GBs, past
     driver/broadcast limits) takes a plain shuffle join instead of
     hinting Spark into an impossible broadcast (VERDICT r4 Wrong #2).
+    A caller that already knows the vocabulary cardinality (from corpus
+    stats / a prior run) passes ``vocab_count`` to skip the measuring
+    pass entirely — at 100 TB that pass re-reads the exploded token
+    stream, so it's worth skipping when the answer is known.
     """
     tok = df.select(
         F.col(id_col).alias("doc_id"),
@@ -182,7 +187,7 @@ def unigram_logprob(
     probs = counts.crossJoin(F.broadcast(total)).select(
         "term", (F.log(F.col("tc") / F.col("total"))).alias("logp")
     )
-    n_vocab = counts.count()
+    n_vocab = vocab_count if vocab_count is not None else counts.count()
     if n_vocab <= broadcast_vocab_max:
         probs = F.broadcast(probs)
     per_doc = (

@@ -244,3 +244,31 @@ def test_unigram_broadcast_gate(spark):
     b = {(r["doc_id"], r["logprob"])
          for r in unigram_logprob(df, broadcast_vocab_max=0).collect()}
     assert a == b
+
+
+def test_unigram_vocab_count_override_skips_measuring(spark, monkeypatch):
+    """A caller-supplied vocab_count must be honored (no count() job) and
+    steer the branch exactly like a measured one."""
+    from pyspark.sql import DataFrame
+
+    from bayard_spark.functions.textstats import unigram_logprob
+
+    df = _uni_df(spark)
+    calls = []
+    real_count = DataFrame.count
+
+    def spy(self):
+        calls.append(1)
+        return real_count(self)
+
+    monkeypatch.setattr(DataFrame, "count", spy)
+    plan = unigram_logprob(
+        df, vocab_count=10**9
+    )._jdf.queryExecution().executedPlan().toString()
+    assert calls == [], "vocab_count must skip the measuring pass"
+    plan_bc = unigram_logprob(
+        df, vocab_count=1
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan_bc.count("BroadcastHashJoin") > plan.count(
+        "BroadcastHashJoin"
+    )
