@@ -383,6 +383,19 @@ def load_tombstones(spark: SparkSession, paths: IndexPaths) -> DataFrame | None:
     return df
 
 
+# Tombstone-count ceiling for the broadcast anti-join hint: 10M ids ≈
+# 80 MB — comfortably a broadcast. Above it (a web-scale purge can doom
+# billions of ids) the anti-join must shuffle; forcing the hint would
+# OOM the driver/executors exactly when deletes are biggest (the same
+# failure class as VERDICT r4's unconditional unigram broadcast).
+TOMBSTONE_BROADCAST_MAX = 10_000_000
+
+
+def tombstone_side(ts: DataFrame, n_ts: int) -> DataFrame:
+    """The anti-join's right side: broadcast-hinted only under the gate."""
+    return F.broadcast(ts) if n_ts <= TOMBSTONE_BROADCAST_MAX else ts
+
+
 def block_rows(spark: SparkSession, post: DataFrame) -> DataFrame:
     """Decode posting blocks → one row per posting (doc_id, field, term,
     salt, bucket, tf, doc_len, pos_bytes). Positions stay as their original
@@ -431,10 +444,13 @@ def merge_segments(spark: SparkSession, builder) -> dict:
     tombstones physically; resets the commit log.
 
     Fully distributed: blocks decode to posting rows (mapInPandas),
-    tombstones drop via a broadcast anti-join (JVM-side — the driver never
-    materializes doomed ids; at web scale tombstones can be billions of
-    rows), then the same (bucket, salt) Arrow block encoder as the build
-    runs, so merged output is byte-deterministic with a fresh build.
+    tombstones drop via an anti-join (JVM-side — the driver never
+    materializes doomed ids). The broadcast hint on the tombstone side
+    is SIZE-GATED: at web scale a purge can doom billions of ids, and
+    forcing a broadcast there would fail exactly when deletes are
+    biggest; past the gate the anti-join shuffles. Then the same
+    (bucket, salt) Arrow block encoder as the build runs, so merged
+    output is byte-deterministic with a fresh build.
     """
     paths: IndexPaths = builder.paths
     log = CommitLog(paths.root)
@@ -445,8 +461,12 @@ def merge_segments(spark: SparkSession, builder) -> dict:
 
     rows = block_rows(spark, post)
     if ts is not None:
-        # a re-put url lives under a new doc_id; its old id is doomed
-        rows = rows.join(F.broadcast(ts), "doc_id", "left_anti")
+        # a re-put url lives under a new doc_id; its old id is doomed.
+        # merge is a rare offline job — one count to pick the join
+        # strategy is noise next to the re-encode it gates.
+        rows = rows.join(
+            tombstone_side(ts, ts.count()), "doc_id", "left_anti"
+        )
     block_size = builder.meta.block_size
 
     io = log.io

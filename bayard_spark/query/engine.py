@@ -117,6 +117,13 @@ class SearchEngine:
         # BM25 stats refresh only at build/merge time (documented: same
         # semantics as per-segment-reader stats in Lucene/tantivy).
         self.tombstones = load_tombstones(spark, self.paths)
+        # counted once per engine snapshot: the per-query anti-join's
+        # broadcast hint is size-gated (build/segments.py
+        # TOMBSTONE_BROADCAST_MAX) — a web-scale purge must shuffle the
+        # anti-join, not force billions of ids into a broadcast
+        self._n_tombstones = (
+            self.tombstones.count() if self.tombstones is not None else 0
+        )
         self.stats = {
             r["field"]: {
                 "n_docs": r["n_docs"],
@@ -381,8 +388,12 @@ class SearchEngine:
         )
         decoded = blocks.select(*cols).mapInArrow(run, DECODED_SCHEMA)
         if self.tombstones is not None:
+            from bayard_spark.build.segments import tombstone_side
+
             decoded = decoded.join(
-                F.broadcast(self.tombstones), "doc_id", "left_anti"
+                tombstone_side(self.tombstones, self._n_tombstones),
+                "doc_id",
+                "left_anti",
             )
         return decoded
 

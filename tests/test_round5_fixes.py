@@ -272,3 +272,49 @@ def test_unigram_vocab_count_override_skips_measuring(spark, monkeypatch):
     assert plan_bc.count("BroadcastHashJoin") > plan.count(
         "BroadcastHashJoin"
     )
+
+
+# ---- 5. size-gated tombstone broadcast (scale audit) ----
+
+
+def test_tombstone_broadcast_gate(spark, tmp_path_factory, monkeypatch):
+    """Above TOMBSTONE_BROADCAST_MAX the anti-join must lose its
+    broadcast hint (a web-scale purge cannot ride a broadcast) with
+    identical results on both branches."""
+    import bayard_spark.build.segments as seg
+    from bayard_spark.build.segments import SegmentWriter
+    from bayard_spark.query import SearchEngine
+
+    builder = _mini_builder(spark, tmp_path_factory, n_docs=50)
+    root = builder.paths.root
+    w = SegmentWriter(spark, builder)
+    victims = [
+        r["url"] for r in spark.read.parquet(builder.paths.docs)
+        .select("url").limit(7).collect()
+    ]
+    w.delete_documents(victims)
+    w.commit()
+
+    def hinted(engine):
+        # the HINT lives in the logical plan; the physical choice on a
+        # 7-row test index is Spark's (auto-broadcast kicks in either
+        # way here — at web scale its size estimate would shuffle).
+        # The gate's job is only to stop FORCING the broadcast.
+        plan = (
+            engine._term_scores("text", "the")
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        return "strategy=broadcast" in plan
+
+    small = SearchEngine(spark, root)
+    assert hinted(small), "under the gate the hint must be present"
+    monkeypatch.setattr(seg, "TOMBSTONE_BROADCAST_MAX", 0)
+    big = SearchEngine(spark, root)
+    big._leaf_cache.clear()
+    assert not hinted(big), "past the gate the hint must be gone"
+    req = {"query": {"kind": "term",
+                     "options": {"field": "text", "term": "the"}},
+           "collection_kind": "count_and_top_docs", "hits": 10}
+    a, b = small.search(req), big.search(req)
+    assert a.total_hits == b.total_hits
+    assert [d["id"] for d in a.documents] == [d["id"] for d in b.documents]
