@@ -262,6 +262,10 @@ def decode_bmp_pixels(data: bytes) -> np.ndarray:
         raise MediaDecodeUnavailable(f"BMP compression {comp} unsupported")
     top_down = h < 0
     h = abs(h)
+    if w <= 0 or h == 0:
+        # a corrupt header's non-positive dims would otherwise surface
+        # as untyped numpy reshape errors
+        raise MediaDecodeUnavailable(f"BMP invalid dimensions {w}x{h}")
     stride = (w * bits // 8 + 3) & ~3
     body = data[pix_off:pix_off + stride * h]
     if len(body) < stride * h:
@@ -279,7 +283,14 @@ def decode_bmp_pixels(data: bytes) -> np.ndarray:
         pal = np.frombuffer(
             data, dtype=np.uint8, count=n_entries * 4, offset=pal_off
         ).reshape(-1, 4)[:, [2, 1, 0]]  # BGRA entries → RGB
-        px = pal[np.minimum(rows[:, :w], n_entries - 1)]
+        idx = rows[:, :w]
+        if idx.size and idx.max() >= n_entries:
+            # fail typed instead of silently clamping out-of-range
+            # palette indices (module rule: never silent garbage)
+            raise MediaDecodeUnavailable(
+                "BMP palette index beyond palette size"
+            )
+        px = pal[idx]
     else:
         raise MediaDecodeUnavailable(f"BMP bit depth {bits} unsupported")
     if not top_down:
@@ -355,11 +366,22 @@ def decode_gif_pixels(data: bytes) -> np.ndarray:
                 grid[order] = rows
             else:
                 grid = rows
-            out = np.full(
-                (sh, sw), min(bg_index, len(pal) - 1), dtype=np.int64
-            )
-            out[iy:iy + ih, ix:ix + iw] = grid
-            return pal[np.clip(out, 0, len(pal) - 1)]
+            if grid.size and grid.max() >= len(pal):
+                raise MediaDecodeUnavailable(
+                    "GIF pixel index beyond palette"
+                )
+            # background color index is defined against the GLOBAL color
+            # table (GIF89a spec §18), NOT the frame's local palette;
+            # fall back to black when there is no GCT or the index is
+            # out of range
+            if gct is not None and bg_index < len(gct):
+                bg_rgb = gct[bg_index]
+            else:
+                bg_rgb = np.zeros(3, dtype=np.uint8)
+            out = np.empty((sh, sw, 3), dtype=np.uint8)
+            out[:, :] = bg_rgb
+            out[iy:iy + ih, ix:ix + iw] = pal[grid]
+            return out
         elif b == 0x3B:  # trailer
             break
         else:

@@ -121,7 +121,9 @@ def ivf_search(
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / np.linalg.norm(q)
     cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
-    probes = np.argsort(-(cn @ qn))[:nprobe].tolist()
+    # stable sort so exact centroid-cosine ties resolve by centroid index
+    # ASC, matching the ann_ivf oracle's row_number tiebreak
+    probes = np.argsort(-(cn @ qn), kind="stable")[:nprobe].tolist()
     pruned = assigned.filter(F.col("centroid").isin(probes))
     return cosine_topk(pruned, query_vec, k, id_col, vec_col)
 

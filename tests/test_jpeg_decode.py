@@ -509,3 +509,74 @@ def test_gif_background_fill_and_oversize_gate():
     bad[6:8] = struct.pack("<H", 2)  # screen narrower than the frame
     with pytest.raises(MediaDecodeUnavailable):
         decode_gif_pixels(bytes(bad))
+
+
+# ------------------------------------------- round-6 ADVICE regression tests
+
+
+def test_gif_background_uses_global_palette_not_local():
+    """GIF89a: the background color index is defined against the GLOBAL
+    color table. A frame with a LOCAL palette that doesn't cover the
+    screen must fill the uncovered area from the GCT, not the local
+    palette."""
+    from bayard_spark.functions.multimodal import decode_gif_pixels
+
+    rng = np.random.default_rng(15)
+    gct = rng.integers(0, 256, size=(8, 3)).astype(np.uint8)
+    lct = rng.integers(0, 256, size=(8, 3)).astype(np.uint8)
+    idx = rng.integers(0, 8, size=(4, 4)).astype(np.uint8)
+    # build: 8x8 screen with GCT, bg index 5, one 4x4 frame with a LOCAL
+    # palette at origin
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", 8, 8)
+    out += bytes([0x80 | 2, 5, 0])  # GCT present, depth 3, bg=5
+    for r, g, b in gct:
+        out += bytes([r, g, b])
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, 4, 4)
+    out += bytes([0x80 | 2])  # local palette, depth 3
+    for r, g, b in lct:
+        out += bytes([r, g, b])
+    min_code = 3
+    out += bytes([min_code])
+    lzw = _lzw_encode(idx.ravel().tolist(), min_code)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    got = decode_gif_pixels(bytes(out))
+    assert np.array_equal(got[:4, :4], lct[idx])     # frame: local palette
+    assert np.array_equal(got[6, 6], gct[5])         # background: GLOBAL
+
+
+def test_bmp_out_of_range_palette_index_gated():
+    from bayard_spark.functions.multimodal import (
+        MediaDecodeUnavailable,
+        decode_bmp_pixels,
+    )
+
+    # 2x2 8-bit BMP with a 4-entry palette but a pixel index of 9
+    w = h = 2
+    stride = (w + 3) & ~3
+    pal = bytes(16)  # 4 BGRA entries
+    pix_off = 54 + len(pal)
+    rows = bytearray()
+    for _ in range(h):
+        rows += bytes([0, 9]) + b"\x00" * (stride - 2)
+    header = b"BM" + struct.pack("<IHHI", pix_off + len(rows), 0, 0, pix_off)
+    header += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0,
+                          len(rows), 2835, 2835, 4, 0)
+    with pytest.raises(MediaDecodeUnavailable):
+        decode_bmp_pixels(bytes(header + pal + rows))
+
+
+def test_bmp_nonpositive_dims_gated():
+    from bayard_spark.functions.multimodal import (
+        MediaDecodeUnavailable,
+        decode_bmp_pixels,
+    )
+
+    header = b"BM" + struct.pack("<IHHI", 54, 0, 0, 54)
+    header += struct.pack("<IiiHHIIiiII", 40, -3, 2, 1, 24, 0,
+                          0, 2835, 2835, 0, 0)
+    with pytest.raises(MediaDecodeUnavailable):
+        decode_bmp_pixels(bytes(header))
