@@ -419,6 +419,66 @@ def q_engine_regex(spark, sf_dir):
     )
 
 
+_ENGINE_MERGE_CACHE: dict[str, str] = {}
+
+
+def q_engine_merge_after_delete(spark, sf_dir):
+    """The full delete -> commit -> merge -> query lifecycle under the
+    driver oracle (the one §2.3 operator that was pytest-only, VERDICT r5
+    Next #2): copy the shared gate index, tombstone every url whose
+    embedded doc_id % 7 == 3 via SegmentWriter.delete_documents
+    (bayard/src/node.rs:1198-1241), commit, physically compact with
+    merge_segments (tantivy background-merge analogue, CHANGES.md 0.3.0
+    #49), then answer the 'spark' term query through SearchEngine over
+    the MERGED index. The oracle replays BM25 over the surviving docs
+    with recomputed global stats, so the compaction must both drop the
+    doomed docs and rewrite n_docs/avg_len to hash-match."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from bayard_spark.query import SearchEngine
+
+    root = _ENGINE_MERGE_CACHE.get(sf_dir)
+    if root is None:
+        from bayard_spark.build.indexer import IndexBuilder
+        from bayard_spark.build.segments import SegmentWriter, merge_segments
+        from bayard_spark.schema import webtext_index_meta
+
+        src = _engine_index(spark, sf_dir)
+        root = tempfile.mkdtemp(prefix="gate_engine_merge_")
+        shutil.rmtree(root)
+        shutil.copytree(src, root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        meta = webtext_index_meta(num_buckets=8, num_waves=1)
+        builder = IndexBuilder(spark, meta, root)
+        doomed = [
+            int(r["doc_id"])
+            for r in _docs(spark, sf_dir)
+            .filter(F.col("doc_id") % 7 == 3)
+            .select("doc_id")
+            .collect()
+        ]
+        writer = SegmentWriter(spark, builder)
+        writer.delete_documents(
+            [f"https://example.com/doc/{i}" for i in doomed]
+        )
+        writer.commit()
+        merge_segments(spark, builder)
+        _ENGINE_MERGE_CACHE[sf_dir] = root
+    engine = SearchEngine(spark, root)
+    resp = engine.search(
+        {"query": {"kind": "term",
+                   "options": {"field": "text", "term": "spark"}},
+         "collection_kind": "top_docs", "hits": 10}
+    )
+    rows = [
+        (int(d["id"].rsplit("/", 1)[1]), round(float(d["score"]), 6))
+        for d in resp.documents
+    ]
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
 def q_ann_ivf(spark, sf_dir):
     """IVF ANN under the driver oracle: centroids = the 8 vectors with
     smallest md5-derived key (oracle-reproducible sampling — the
@@ -967,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "engine_offset_page": q_engine_offset_page,
         "engine_fuzzy": q_engine_fuzzy,
         "engine_regex": q_engine_regex,
+        "engine_merge_after_delete": q_engine_merge_after_delete,
         "ann_ivf": q_ann_ivf,
         "streaming_upsert": q_streaming_upsert,
         "phrase_bm25": q_phrase_bm25,
@@ -1011,6 +1072,22 @@ def oracle_sql() -> dict[str, str]:
     # twins — identical oracle SQL, but the Spark side executed
     # build/codec.py + query/engine.py decode
     sqls["engine_term_bm25"] = _term_sql("spark")
+
+    # delete->commit->merge->query: same term scoring, but over only the
+    # SURVIVING docs (doc_id % 7 <> 3) with n_docs/avg_len recomputed —
+    # exactly what a physical compaction must produce
+    _surv_prelude = (
+        "WITH surviving AS "
+        "(SELECT * FROM documents WHERE doc_id % 7 <> 3), "
+        + R.SQL_BM25_PRELUDE.format(tokens=R.sql_tokens("surviving"))
+        .replace("FROM documents", "FROM surviving")
+        .strip()
+    )
+    sqls["engine_merge_after_delete"] = (
+        _TERM_SQL_T.replace("__PRELUDE__", _surv_prelude)
+        .replace("__TERM__", "spark")
+        .replace("__SCORE__", _SCORE)
+    )
     # streamed refresh touched exactly the doc_id % 5 == 0 documents; the
     # engine count is the visibility/tombstone/idempotency proof
     sqls["unigram_logprob"] = f"""
