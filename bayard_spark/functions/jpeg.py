@@ -105,7 +105,23 @@ class MediaDecodeUnavailableJpeg(NotImplementedError):
 
 def decode_jpeg_pixels(data: bytes) -> np.ndarray:
     """JPEG bytes → uint8 array (height, width, channels); channels is 1
-    for grayscale, 3 (RGB) otherwise."""
+    for grayscale, 3 (RGB) otherwise.
+
+    Typed-failure contract: ANY malformed container (truncated segment
+    bodies, dangling table ids, corrupt lengths) raises
+    MediaDecodeUnavailableJpeg — never a bare KeyError/ValueError/
+    IndexError/struct.error escaping into Spark task frames."""
+    try:
+        return _decode_jpeg(data)
+    except MediaDecodeUnavailableJpeg:
+        raise
+    except (KeyError, ValueError, IndexError, struct.error) as e:
+        raise MediaDecodeUnavailableJpeg(
+            f"malformed JPEG stream: {type(e).__name__}: {e}"
+        ) from e
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise MediaDecodeUnavailableJpeg("not a JPEG container")
     qt: dict[int, np.ndarray] = {}
@@ -132,6 +148,8 @@ def decode_jpeg_pixels(data: bytes) -> np.ndarray:
             while p < len(body):
                 pq, tq = body[p] >> 4, body[p] & 0x0F
                 p += 1
+                if len(body) - p < (64 if pq == 0 else 128):
+                    raise MediaDecodeUnavailableJpeg("truncated DQT body")
                 if pq == 0:
                     tbl = np.frombuffer(
                         body, dtype=np.uint8, count=64, offset=p
@@ -179,6 +197,8 @@ def decode_jpeg_pixels(data: bytes) -> np.ndarray:
                 tc, th = body[p] >> 4, body[p] & 0x0F
                 counts = list(body[p + 1:p + 17])
                 nsym = sum(counts)
+                if len(counts) < 16 or len(body) < p + 17 + nsym:
+                    raise MediaDecodeUnavailableJpeg("truncated DHT body")
                 syms = body[p + 17:p + 17 + nsym]
                 huff[(tc, th)] = _Huff(counts, syms)
                 p += 17 + nsym
@@ -236,7 +256,15 @@ def _decode_scan(frame, scan, scan_comps, qt, huff, restart):
     by_id = {c["id"]: c for c in comps}
     order = []
     for sc in scan_comps:
-        c = by_id[sc["cs"]]
+        c = by_id.get(sc["cs"])
+        if c is None:
+            raise MediaDecodeUnavailableJpeg(
+                f"SOS references unknown component id {sc['cs']}"
+            )
+        if c["tq"] not in qt:
+            raise MediaDecodeUnavailableJpeg(
+                f"missing quantization table {c['tq']}"
+            )
         order.append(
             {"c": c, "dc": huff.get((0, sc["td"])),
              "ac": huff.get((1, sc["ta"])), "q": qt[c["tq"]]}

@@ -580,3 +580,47 @@ def test_bmp_nonpositive_dims_gated():
                           0, 2835, 2835, 0, 0)
     with pytest.raises(MediaDecodeUnavailable):
         decode_bmp_pixels(bytes(header))
+
+
+def test_jpeg_missing_quant_table_typed():
+    from bayard_spark.functions.jpeg import MediaDecodeUnavailableJpeg
+
+    data = bytearray(encode_jpeg(_smooth(8, 8), q=2))
+    m = bytes(data).find(b"\xff\xc0")
+    assert data[m + 12] == 0  # comp 0 tq byte
+    data[m + 12] = 3  # reference a table that was never defined
+    with pytest.raises(MediaDecodeUnavailableJpeg):
+        decode_jpeg_pixels(bytes(data))
+
+
+def test_jpeg_unknown_scan_component_typed():
+    from bayard_spark.functions.jpeg import MediaDecodeUnavailableJpeg
+
+    data = bytearray(encode_jpeg(_smooth(8, 8), q=2))
+    m = bytes(data).find(b"\xff\xda")
+    assert data[m + 5] == 1  # first scan-component id
+    data[m + 5] = 9
+    with pytest.raises(MediaDecodeUnavailableJpeg):
+        decode_jpeg_pixels(bytes(data))
+
+
+def test_jpeg_truncated_dqt_typed():
+    from bayard_spark.functions.jpeg import MediaDecodeUnavailableJpeg
+
+    data = b"\xff\xd8" + b"\xff\xdb" + struct.pack(">H", 2 + 1 + 10) \
+        + b"\x00" + bytes(10) + b"\xff\xd9"
+    with pytest.raises(MediaDecodeUnavailableJpeg):
+        decode_jpeg_pixels(data)
+
+
+def test_jpeg_truncated_dht_typed():
+    from bayard_spark.functions.jpeg import MediaDecodeUnavailableJpeg
+
+    # DHT claims 12 symbols but the body ends after 3
+    counts = [0] * 16
+    counts[3] = 12
+    body = bytes([0x00] + counts) + bytes(3)
+    data = b"\xff\xd8" + b"\xff\xc4" + struct.pack(">H", 2 + len(body)) \
+        + body + b"\xff\xd9"
+    with pytest.raises(MediaDecodeUnavailableJpeg):
+        decode_jpeg_pixels(data)
