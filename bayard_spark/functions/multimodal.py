@@ -6,14 +6,16 @@ format come from the first bytes of each container). PNG PIXEL decode is
 real too (decode_png_pixels: stdlib zlib inflate + per-scanline unfilter,
 all five filter types, gray/RGB/palette/alpha color types), so
 image_features(real_decode=True) derives vectors from actual pixels for
-PNG. Round 5 makes BASELINE JPEG pixel decode real too (functions/
-jpeg.py: Huffman entropy decode → dequant → numpy IDCT → chroma
-upsample → YCbCr→RGB), plus BMP (uncompressed 24/32-bit + palette) and
-GIF first-frame (real LZW with variable code widths and interlace).
+PNG. Rounds 5-6 make JPEG pixel decode real too (functions/jpeg.py:
+baseline AND progressive SOF2 — Huffman entropy decode → dequant →
+numpy IDCT → chroma upsample → YCbCr→RGB, with spectral-selection +
+successive-approximation scan accumulation for progressive), plus BMP
+(uncompressed 24/32-bit + palette) and GIF first-frame (real LZW with
+variable code widths and interlace).
 WAV/PCM AUDIO decode is real as well (decode_wav: RIFF chunk walk,
 int 8/16/24/32-bit and IEEE-float samples via numpy views;
 audio_features derives rms/peak/zero-crossings/spectrum from actual
-samples). Progressive JPEG, WebP (VP8), compressed audio (mp3/ogg/flac)
+samples). Arithmetic-coded JPEG, WebP (VP8), compressed audio (mp3/ogg/flac)
 and video remain stubbed behind clearly-marked hooks
 (`MediaDecodeUnavailable`) because those codecs genuinely need external
 libraries (Pillow/torchaudio/pyav) that do not ship in this
@@ -442,7 +444,8 @@ def _lzw_decode(buf: bytes, min_code: int, limit: int) -> list[int]:
 
 def decode_image_pixels(data: bytes) -> np.ndarray:
     """Container-dispatching REAL pixel decode: PNG via decode_png_pixels,
-    baseline JPEG via functions/jpeg.decode_jpeg_pixels (round 5 — marker
+    baseline + progressive JPEG via functions/jpeg.decode_jpeg_pixels
+    (rounds 5-6 — marker
     walk, Huffman entropy decode, dequant, numpy IDCT, chroma upsample,
     YCbCr→RGB), BMP via decode_bmp_pixels, GIF first-frame via
     decode_gif_pixels (real LZW). WebP raises MediaDecodeUnavailable
@@ -501,7 +504,7 @@ def image_features(
     """Feature-extract each image → float vector.
 
     real_decode=True runs the REAL dep-free pixel decoders — PNG
-    (decode_png_pixels: zlib inflate + unfilter) and baseline JPEG
+    (decode_png_pixels: zlib inflate + unfilter) and baseline/progressive JPEG
     (functions/jpeg.py: Huffman entropy decode + IDCT, round 5) — and
     derives the vector from actual pixels; other containers raise
     MediaDecodeUnavailable. The default stub path keeps the hash-derived

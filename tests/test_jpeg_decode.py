@@ -275,13 +275,27 @@ def test_restart_markers_match_unrestarted():
     assert np.array_equal(a, b)
 
 
-def test_progressive_gated():
+def test_mislabeled_progressive_fails_typed():
+    # a sequential stream relabeled SOF2 carries an Ss=0/Se=63 scan,
+    # which is illegal in progressive mode — must fail typed, not
+    # decode garbage
     from bayard_spark.functions.jpeg import MediaDecodeUnavailableJpeg
 
     img = _smooth(16, 16, seed=5)
     buf = bytearray(encode_jpeg(img, q=2))
     i = buf.find(b"\xff\xc0")
     buf[i + 1] = 0xC2  # claim progressive
+    with pytest.raises(MediaDecodeUnavailableJpeg):
+        decode_jpeg_pixels(bytes(buf))
+
+
+def test_arithmetic_coding_gated():
+    from bayard_spark.functions.jpeg import MediaDecodeUnavailableJpeg
+
+    img = _smooth(16, 16, seed=5)
+    buf = bytearray(encode_jpeg(img, q=2))
+    i = buf.find(b"\xff\xc0")
+    buf[i + 1] = 0xC9  # SOF9: arithmetic sequential
     with pytest.raises(MediaDecodeUnavailableJpeg):
         decode_jpeg_pixels(bytes(buf))
 
@@ -624,3 +638,315 @@ def test_jpeg_truncated_dht_typed():
         + body + b"\xff\xd9"
     with pytest.raises(MediaDecodeUnavailableJpeg):
         decode_jpeg_pixels(data)
+
+
+# ------------------------------------------- independent progressive encoder
+
+
+def _comp_coeffs(img, q, subsample):
+    """Quantized zigzag-order coefficient arrays per component, padded to
+    the MCU grid — the shared front half of a progressive encoder."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if gray:
+        planes = [img.astype(np.float64) - 128.0]
+        samp = [(1, 1)]
+    else:
+        f = img.astype(np.float64)
+        y = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+        cb = -0.168736 * f[:, :, 0] - 0.331264 * f[:, :, 1] \
+            + 0.5 * f[:, :, 2]
+        cr = 0.5 * f[:, :, 0] - 0.418688 * f[:, :, 1] \
+            - 0.081312 * f[:, :, 2]
+        if subsample:
+            ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+            cbp = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
+            crp = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
+            cb = cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cr = crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y - 128.0, cb, cr]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    coefs = []
+    for p, (sh, sv) in zip(planes, samp):
+        tw, th = mcux * sh * 8, mcuy * sv * 8
+        pp = np.pad(
+            p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"
+        )
+        nby, nbx = th // 8, tw // 8
+        cz = np.zeros((nby, nbx, 64), dtype=np.int64)
+        for by in range(nby):
+            for bx in range(nbx):
+                c8 = np.round(
+                    fdct(pp[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]) / q
+                ).astype(int)
+                cz[by, bx] = [int(c8.flat[ZZ[k]]) for k in range(64)]
+        coefs.append(cz)
+    return samp, coefs, hmax, vmax, mcux, mcuy
+
+
+def encode_jpeg_progressive(img, q=2, subsample=False, restart=0):
+    """Progressive (SOF2) encoder, written independently of the decoder:
+    interleaved DC first (Al=1) + DC refine, per-component spectral
+    selection (bands 1-5 and 6-63 at Al=1), then AC successive-
+    approximation refinement (Ah=1, Al=0) with EOB-run buffering."""
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    nc = 1 if gray else 3
+    samp, coefs, hmax, vmax, mcux, mcuy = _comp_coeffs(img, q, subsample)
+
+    out = bytearray(b"\xff\xd8")
+    qtbl = bytes([q] * 64)
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + qtbl
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, nc))
+    for ci in range(nc):
+        sh, sv = samp[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    dc_counts = [0] * 16
+    dc_counts[DC_BITS - 1] = 12
+    dht = bytes([0x00] + dc_counts) + bytes(range(12))
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    ac_counts = [0] * 16
+    ac_counts[AC_BITS - 1] = 255
+    dht = bytes([0x10] + ac_counts) + bytes(range(255))
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    if restart:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart)
+
+    def sos(comp_ids, ss, se, ah, al):
+        body = bytearray([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + bytes(body)
+
+    rstn = [0]
+
+    def emit_rst(bw):
+        bw.pad()
+        out.extend(bw.out)
+        out.extend(bytes([0xFF, 0xD0 + rstn[0]]))
+        rstn[0] = (rstn[0] + 1) % 8
+        return BitWriter()
+
+    # ---- scan 1: interleaved DC first, Al=1
+    al = 1
+    out += sos(list(range(1, nc + 1)), 0, 0, 0, al)
+    bw = BitWriter()
+    preds = [0] * nc
+    unit = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and unit and unit % restart == 0:
+                bw = emit_rst(bw)
+                preds = [0] * nc
+            for ci in range(nc):
+                sh, sv = samp[ci]
+                for v in range(sv):
+                    for hh in range(sh):
+                        d = int(coefs[ci][my * sv + v, mx * sh + hh, 0]) >> al
+                        t, code = _mag(d - preds[ci])
+                        preds[ci] = d
+                        bw.write(t, DC_BITS)
+                        bw.write(code, t)
+            unit += 1
+    bw.pad()
+    out += bw.out
+
+    # ---- scan 2: interleaved DC refine, Al=0
+    out += sos(list(range(1, nc + 1)), 0, 0, 1, 0)
+    bw = BitWriter()
+    unit = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and unit and unit % restart == 0:
+                bw = emit_rst(bw)
+            for ci in range(nc):
+                sh, sv = samp[ci]
+                for v in range(sv):
+                    for hh in range(sh):
+                        bw.write(
+                            int(coefs[ci][my * sv + v, mx * sh + hh, 0]) & 1,
+                            1,
+                        )
+            unit += 1
+    bw.pad()
+    out += bw.out
+
+    def comp_grid(ci):
+        sh, sv = samp[ci]
+        cw = -(-(w * sh) // hmax)
+        ch = -(-(h * sv) // vmax)
+        return -(-ch // 8), -(-cw // 8)
+
+    # ---- AC first scans: spectral selection at Al=1, per component
+    for ss, se in ((1, 5), (6, 63)):
+        for ci in range(nc):
+            out += sos([ci + 1], ss, se, 0, 1)
+            bw = BitWriter()
+            nby, nbx = comp_grid(ci)
+            state = {"eob": 0}
+
+            def flush_eob():
+                if state["eob"]:
+                    nb = state["eob"].bit_length() - 1
+                    bw.write(nb << 4, AC_BITS)
+                    if nb:
+                        bw.write(state["eob"] - (1 << nb), nb)
+                    state["eob"] = 0
+
+            unit = 0
+            for by in range(nby):
+                for bx in range(nbx):
+                    if restart and unit and unit % restart == 0:
+                        flush_eob()
+                        bw = emit_rst(bw)
+                    unit += 1
+                    band = [int(t) for t in coefs[ci][by, bx, ss:se + 1]]
+                    vals = [
+                        (abs(t) >> 1) * (1 if t >= 0 else -1) for t in band
+                    ]
+                    nz = [i for i, v in enumerate(vals) if v]
+                    if not nz:
+                        state["eob"] += 1
+                        if state["eob"] == 0x7FFF:
+                            flush_eob()
+                        continue
+                    flush_eob()
+                    r = 0
+                    for i in range(nz[-1] + 1):
+                        if vals[i] == 0:
+                            r += 1
+                            continue
+                        while r > 15:
+                            bw.write(0xF0, AC_BITS)
+                            r -= 16
+                        t, code = _mag(vals[i])
+                        bw.write((r << 4) | t, AC_BITS)
+                        bw.write(code, t)
+                        r = 0
+                    if nz[-1] < se - ss:
+                        state["eob"] += 1
+            flush_eob()
+            bw.pad()
+            out += bw.out
+
+    # ---- AC refinement scans: Ss=1..63, Ah=1, Al=0, per component
+    for ci in range(nc):
+        ss, se = 1, 63
+        out += sos([ci + 1], ss, se, 1, 0)
+        bw = BitWriter()
+        nby, nbx = comp_grid(ci)
+        state = {"eob": 0, "defer": []}
+
+        def flush_eob_r():
+            if state["eob"]:
+                nb = state["eob"].bit_length() - 1
+                bw.write(nb << 4, AC_BITS)
+                if nb:
+                    bw.write(state["eob"] - (1 << nb), nb)
+                for b in state["defer"]:
+                    bw.write(b, 1)
+                state["defer"] = []
+                state["eob"] = 0
+
+        unit = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                if restart and unit and unit % restart == 0:
+                    flush_eob_r()
+                    bw = emit_rst(bw)
+                unit += 1
+                band = [int(t) for t in coefs[ci][by, bx, ss:se + 1]]
+                a = [abs(t) for t in band]  # Al=0: magnitude as-is
+                newly = [i for i, m in enumerate(a) if m == 1]
+                lastnz = newly[-1] if newly else -1
+                r = 0
+                pend = []
+                for i in range(lastnz + 1):
+                    if a[i] == 0:
+                        r += 1
+                        continue
+                    # any nonzero flushes pending ZRLs eagerly so the
+                    # decoder's correction bits stay in stream order
+                    while r > 15:
+                        flush_eob_r()
+                        bw.write(0xF0, AC_BITS)
+                        for b in pend:
+                            bw.write(b, 1)
+                        pend = []
+                        r -= 16
+                    if a[i] > 1:  # already significant: correction bit
+                        pend.append(a[i] & 1)
+                        continue
+                    flush_eob_r()
+                    bw.write((r << 4) | 1, AC_BITS)
+                    bw.write(1 if band[i] > 0 else 0, 1)
+                    for b in pend:
+                        bw.write(b, 1)
+                    pend = []
+                    r = 0
+                if lastnz < se - ss:
+                    state["eob"] += 1
+                    state["defer"] += [
+                        a[i] & 1 for i in range(lastnz + 1, se - ss + 1)
+                        if a[i] > 1
+                    ]
+                    if state["eob"] == 0x7FFF:
+                        flush_eob_r()
+        flush_eob_r()
+        bw.pad()
+        out += bw.out
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_progressive_gray_roundtrip():
+    img = _smooth(24, 17, seed=5)
+    seq = decode_jpeg_pixels(encode_jpeg(img, q=2))
+    prog = decode_jpeg_pixels(encode_jpeg_progressive(img, q=2))
+    assert prog.shape == seq.shape == (24, 17, 1)
+    # identical quantized coefficients → bit-identical pixels
+    assert np.array_equal(prog, seq)
+    assert np.max(np.abs(prog[:, :, 0].astype(int) - img.astype(int))) <= 24
+
+
+def test_progressive_rgb_444_roundtrip():
+    img = _smooth(16, 21, seed=6, chans=3)
+    seq = decode_jpeg_pixels(encode_jpeg(img, q=2))
+    prog = decode_jpeg_pixels(encode_jpeg_progressive(img, q=2))
+    assert np.array_equal(prog, seq)
+
+
+def test_progressive_rgb_420_roundtrip():
+    # subsampled chroma: the non-interleaved AC scans walk the chroma
+    # component's OWN block grid, smaller than the MCU grid
+    img = _smooth(33, 26, seed=7, chans=3)
+    seq = decode_jpeg_pixels(encode_jpeg(img, q=2, subsample=True))
+    prog = decode_jpeg_pixels(
+        encode_jpeg_progressive(img, q=2, subsample=True)
+    )
+    assert np.array_equal(prog, seq)
+
+
+def test_progressive_restart_markers():
+    img = _smooth(40, 33, seed=8, chans=3)
+    base = decode_jpeg_pixels(encode_jpeg_progressive(img, q=2))
+    rst = decode_jpeg_pixels(encode_jpeg_progressive(img, q=2, restart=3))
+    assert np.array_equal(base, rst)
+
+
+def test_progressive_sharp_image_roundtrip():
+    # high-frequency content exercises ZRL paths and long EOB runs
+    rng = np.random.default_rng(11)
+    img = (rng.uniform(0, 255, size=(24, 24, 3))).astype(np.uint8)
+    seq = decode_jpeg_pixels(encode_jpeg(img, q=3))
+    prog = decode_jpeg_pixels(encode_jpeg_progressive(img, q=3))
+    assert np.array_equal(prog, seq)
