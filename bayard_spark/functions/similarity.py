@@ -186,3 +186,63 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= min_cosine)
         .distinct()
     )
+
+
+# ---------------------------------------------------- IVF physical layout
+
+
+def write_ivf_index(
+    emb: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Materialize an IVF index with a partition layout that turns the
+    probe filter into FILE pruning, not just row pruning.
+
+    Layout:
+      <path>/vectors/centroid=<c>/part-*.parquet   (hive-partitioned)
+      <path>/centroids/part-*.parquet              (cidx, vector)
+
+    The vectors frame is hash-repartitioned on `centroid` before the
+    partitioned write so each cell lands in exactly one task → one file
+    per cell (no small-file explosion at 1000 executors); a hot cell is
+    bounded by its own size, never by the corpus. At search time
+    `centroid IN (probes)` matches the hive partition column, so Spark
+    plans PartitionFilters and reads only nprobe directories — the same
+    physics as the text index's term-bucket pruning.
+
+    Returns the centroid matrix (also persisted for load_ivf_index).
+    """
+    cents = deterministic_centroids(emb, n_centroids, id_col, vec_col)
+    assigned = ivf_assign(emb, cents, id_col, vec_col)
+    (
+        assigned.repartition(F.col("centroid"))
+        .write.mode("overwrite")
+        .partitionBy("centroid")
+        .parquet(f"{path}/vectors")
+    )
+    spark = emb.sparkSession
+    cent_rows = [
+        (int(i), [float(x) for x in cents[i]]) for i in range(len(cents))
+    ]
+    (
+        spark.createDataFrame(cent_rows, "cidx int, vector array<double>")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/centroids")
+    )
+    return cents
+
+
+def load_ivf_index(spark, path: str) -> tuple[DataFrame, np.ndarray]:
+    """(assigned vectors frame, centroid matrix) from write_ivf_index.
+
+    The returned frame's `centroid` column is the hive partition column,
+    so ivf_search's isin(probes) filter prunes at the file level —
+    assert `PartitionFilters` in the plan, not just a row Filter."""
+    vectors = spark.read.parquet(f"{path}/vectors")
+    crows = spark.read.parquet(f"{path}/centroids").orderBy("cidx").collect()
+    cents = np.asarray([r.vector for r in crows], dtype=np.float64)
+    return vectors, cents

@@ -373,3 +373,47 @@ class TestUnigramLogprob:
         plan = textstats.unigram_logprob(df)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "Broadcast" in plan, "unigram table must broadcast, not shuffle"
+
+
+def test_ivf_physical_layout_prunes_partitions(spark, emb, tmp_path):
+    """write_ivf_index lays vectors out hive-partitioned by centroid so
+    ivf_search's probe filter becomes FILE pruning (PartitionFilters in
+    the scan), with one file per cell; results are identical to the
+    in-memory assigned path."""
+    import contextlib
+    import io
+    import os
+
+    path = str(tmp_path / "ivf")
+    cents = similarity.write_ivf_index(emb, path, n_centroids=8)
+    vectors, cents2 = similarity.load_ivf_index(spark, path)
+    assert np.allclose(cents, cents2)
+
+    # one file per cell: the pre-write repartition on centroid keeps each
+    # cell in a single task
+    for d in os.listdir(f"{path}/vectors"):
+        if d.startswith("centroid="):
+            files = [
+                f for f in os.listdir(f"{path}/vectors/{d}")
+                if f.endswith(".parquet")
+            ]
+            assert len(files) == 1, (d, files)
+
+    q = list(emb.filter(F.col("vec_id") == 1).collect()[0]["embedding"])
+    assigned = similarity.ivf_assign(emb, cents)
+    mem = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in similarity.ivf_search(assigned, cents, q, k=10, nprobe=3)
+        .collect()
+    ]
+    disk_q = similarity.ivf_search(vectors, cents2, q, k=10, nprobe=3)
+    disk = [(r["vec_id"], round(r["cosine"], 9)) for r in disk_q.collect()]
+    assert mem == disk
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        disk_q.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters", 1)[1][:300]
+    assert "centroid" in pf and "IN" in pf.upper(), pf
