@@ -120,10 +120,19 @@ class SearchEngine:
         # counted once per engine snapshot: the per-query anti-join's
         # broadcast hint is size-gated (build/segments.py
         # TOMBSTONE_BROADCAST_MAX) — a web-scale purge must shuffle the
-        # anti-join, not force billions of ids into a broadcast
-        self._n_tombstones = (
-            self.tombstones.count() if self.tombstones is not None else 0
-        )
+        # anti-join, not force billions of ids into a broadcast. The
+        # count is metadata-only (parquet footers, zero Spark jobs);
+        # it over-counts duplicate tombstones, which only flips the
+        # gate toward shuffle — the safe direction.
+        if self.tombstones is None:
+            self._n_tombstones = 0
+        else:
+            from bayard_spark.build.segments import count_tombstone_rows
+
+            n = count_tombstone_rows(self.paths)
+            self._n_tombstones = (
+                n if n is not None else self.tombstones.count()
+            )
         self.stats = {
             r["field"]: {
                 "n_docs": r["n_docs"],
@@ -1129,8 +1138,23 @@ class SearchEngine:
         if len(ids) <= self.ISIN_LOOKUP_MAX:
             rows = proj.filter(F.col("doc_id").isin(ids)).collect()
         else:
-            id_df = self.spark.createDataFrame(
-                [(int(i),) for i in ids], "doc_id long"
-            )
-            rows = proj.join(F.broadcast(id_df), "doc_id").collect()
+            # ship the id list as ONE Arrow batch: a list-of-tuples
+            # createDataFrame pays per-row Python->JVM pickling, which
+            # profiling showed dominates this fetch (~0.45 s of a 0.56 s
+            # fetch for 3k ids at sf0.1); the Arrow path is ~3x faster
+            arrow_key = "spark.sql.execution.arrow.pyspark.enabled"
+            prev = self.spark.conf.get(arrow_key, "false")
+            if prev != "true":
+                self.spark.conf.set(arrow_key, "true")
+            try:
+                id_df = self.spark.createDataFrame(
+                    pd.DataFrame(
+                        {"doc_id": np.asarray(ids, dtype=np.int64)}
+                    ),
+                    schema="doc_id long",
+                )
+                rows = proj.join(F.broadcast(id_df), "doc_id").collect()
+            finally:
+                if prev != "true":
+                    self.spark.conf.set(arrow_key, prev)
         return {r["doc_id"]: r.asDict() for r in rows}

@@ -125,3 +125,47 @@ class TestSegments:
         assert e.scores(term_q("beta")).count() == 1
         # base corpus still fully searchable after merge
         assert e.scores(term_q("the")).count() > 0
+
+
+class TestTombstoneCount:
+    def test_footer_count_matches_and_overcounts_dups(self, spark, index_root):
+        """count_tombstone_rows is metadata-only (parquet footers): equal
+        to the distinct tombstone count normally, and an OVER-count when
+        the same doc is tombstoned in two commits — the safe direction
+        for the broadcast gate."""
+        from bayard_spark.build.segments import (
+            count_tombstone_rows,
+            load_tombstones,
+        )
+        from bayard_spark.query.engine import IndexPaths
+
+        root, builder = index_root
+        w = SegmentWriter(spark, builder)
+        w.put_documents(
+            new_batch(spark, [("https://tsc.example/1", "alpha beta"),
+                              ("https://tsc.example/2", "gamma delta")])
+        )
+        w.commit()
+        paths = IndexPaths(root)
+        assert count_tombstone_rows(paths) in (0, None) or \
+            count_tombstone_rows(paths) == 0
+
+        w2 = SegmentWriter(spark, builder)
+        w2.delete_documents(["https://tsc.example/1", "https://tsc.example/2"])
+        w2.commit()
+        distinct = load_tombstones(spark, paths).count()
+        footer = count_tombstone_rows(paths)
+        assert footer == distinct == 2
+
+        # deleting an already-deleted url matches no LIVE docs
+        # (_existing_docs is commit-log aware), so the new tombstone file
+        # is empty and the footer count stays exact
+        w3 = SegmentWriter(spark, builder)
+        w3.delete_documents(["https://tsc.example/1"])
+        w3.commit()
+        assert load_tombstones(spark, paths).count() == 2
+        assert count_tombstone_rows(paths) == 2
+
+        e = SearchEngine(spark, root)
+        assert e._n_tombstones == 2
+        assert e.scores(term_q("alpha")).count() == 0
