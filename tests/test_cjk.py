@@ -179,23 +179,27 @@ def test_lindera_fidelity_measurement():
 
 
 def test_lindera_fidelity_dev_and_heldout():
-    """Round-5 floors for the OOV morphology layer (_ja_split):
-    dev set (tests/data/cjk_lindera_heldout.tsv — used to develop the
-    layer) measured 0.969; blind held-out (heldout2.tsv — written after
-    the layer froze, measured once) measured 0.850. Both must not
-    regress. If the segmenter changes, heldout2 becomes dev and a NEW
-    blind set must be written (protocol in tools/cjk_fidelity.py)."""
+    """Round-6 floors for the Viterbi-lattice segmenter: both dev sets
+    (cjk_lindera_heldout.tsv — r5 dev; heldout2.tsv — the r5 blind set,
+    consumed by r6 lattice tuning) measured 1.000; the FRESH blind set
+    (heldout3.tsv — written after the r6 lattice froze, segmentations
+    fixed before the first run, measured once) measured macro token-F1
+    0.932, exact 28/40. None may regress. If the segmenter changes,
+    heldout3 becomes dev and a NEW blind set must be written (protocol
+    in tools/cjk_fidelity.py)."""
     import sys
     from pathlib import Path
 
     sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
-    from tools.cjk_fidelity import HELDOUT, HELDOUT2, measure
+    from tools.cjk_fidelity import HELDOUT, HELDOUT2, HELDOUT3, measure
 
-    dev = measure(HELDOUT)
-    dev_macro = sum(f1 for *_, f1 in dev) / len(dev)
-    assert dev_macro >= 0.96, f"dev fidelity regressed: {dev_macro:.3f}"
-    held = measure(HELDOUT2)
-    held_macro = sum(f1 for *_, f1 in held) / len(held)
-    assert held_macro >= 0.84, (
-        f"held-out fidelity regressed: {held_macro:.3f}"
-    )
+    for path, floor, label in (
+        (HELDOUT, 1.0, "dev"),
+        (HELDOUT2, 1.0, "dev2"),
+        (HELDOUT3, 0.93, "blind held-out"),
+    ):
+        scores = measure(path)
+        macro = sum(f1 for *_, f1 in scores) / len(scores)
+        assert macro >= floor, (
+            f"{label} fidelity regressed: {macro:.3f} < {floor}"
+        )

@@ -8,16 +8,17 @@ ipadic) segmentations — TWO metrics (ADVICE r4):
   once the words are known), not held-out generalization.
 - tests/data/cjk_lindera_heldout.tsv — 40 everyday sentences with
   standard MeCab/ipadic segmentations, originally held out. Measured
-  0.661 against the r4 segmenter; the round-5 OOV morphology layer
-  (Han+hiragana chunks with closed-class aux suffix stripping) was then
-  developed while looking at its failures, so this set is now the DEV
-  set (0.969 after the layer) — no longer a held-out claim.
-- tests/data/cjk_lindera_heldout2.tsv — 40 FRESH sentences written
-  after the morphology layer was frozen, segmentations fixed before the
-  first run, measured ONCE: macro token-F1 0.850, exact 21/40. This is
-  the honest current generalization number. Never tune on misses from
-  this file; if the segmenter changes, retire it to dev and write a new
-  blind set.
+  0.661 against the r4 segmenter, then consumed by r5 tuning — DEV.
+- tests/data/cjk_lindera_heldout2.tsv — 40 sentences written blind
+  after the r5 morphology layer froze, measured ONCE against it:
+  macro token-F1 0.850, exact 21/40 (the honest r5 number). The r6
+  Viterbi-lattice rewrite then tuned on its misses, so it is now
+  DEV2 — no longer a held-out claim.
+- tests/data/cjk_lindera_heldout3.tsv — 40 FRESH sentences written
+  after the r6 lattice + vocabulary froze, segmentations fixed before
+  the first run, measured ONCE. This is the honest current
+  generalization number. Never tune on misses from this file; if the
+  segmenter changes, retire it to dev and write a new blind set.
 
 Reports per-sentence token multiset F1 and the macro average per set.
 
@@ -50,6 +51,7 @@ _DATA = os.path.join(
 GOLDEN = os.path.join(_DATA, "cjk_lindera_golden.tsv")
 HELDOUT = os.path.join(_DATA, "cjk_lindera_heldout.tsv")
 HELDOUT2 = os.path.join(_DATA, "cjk_lindera_heldout2.tsv")
+HELDOUT3 = os.path.join(_DATA, "cjk_lindera_heldout3.tsv")
 
 
 def sentence_f1(got: list[str], want: list[str]) -> float:
@@ -96,7 +98,8 @@ def report(path: str, label: str, verbose: bool = True) -> float:
 def main() -> None:
     report(GOLDEN, "in-vocabulary (lexicon saw these words)")
     report(HELDOUT, "dev (held-out until the r5 morphology layer)")
-    report(HELDOUT2, "HELD-OUT (blind; written after the r5 layer froze)")
+    report(HELDOUT2, "dev2 (was the r5 blind set; consumed by r6 tuning)")
+    report(HELDOUT3, "HELD-OUT (blind; written after the r6 lattice froze)")
 
 
 if __name__ == "__main__":
