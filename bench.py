@@ -397,6 +397,10 @@ def run_scaling(corpus: str) -> tuple[dict, dict, dict]:
 
 CONCURRENT_CLIENTS = int(os.environ.get("SPARK_GRAFT_QUERY_CLIENTS", "8"))
 CONCURRENT_ROUNDS = int(os.environ.get("SPARK_GRAFT_QUERY_CROUNDS", "4"))
+# serving capacity curve (VERDICT r5 Next #8): client counts swept over
+# ONE shared engine snapshot to find the saturation knee
+CAPACITY_CLIENTS = [1, 4, 8, 16, 32]
+SKIP_CURVE = os.environ.get("SPARK_GRAFT_SKIP_CURVE", "") == "1"
 
 
 def run_queries(spark, root: str) -> dict:
@@ -443,6 +447,24 @@ def run_queries(spark, root: str) -> dict:
     with ThreadPoolExecutor(CONCURRENT_CLIENTS) as ex:
         list(ex.map(one, reqs))
     conc_wall = time.time() - t0
+    # Capacity curve (VERDICT r5 Next #8): sweep client counts over the
+    # SAME engine snapshot. Each point issues >=8 requests per client
+    # (cycling the headline shapes) so even the 32-client point measures
+    # sustained multiplexing, not one burst.
+    curve = []
+    if not SKIP_CURVE:
+        shapes = [e[1] for e in QUERY_SET if len(e) == 2]
+        for nclients in CAPACITY_CLIENTS:
+            n_reqs = max(len(shapes) * CONCURRENT_ROUNDS, nclients * 8)
+            creqs = [shapes[i % len(shapes)] for i in range(n_reqs)]
+            t0 = time.time()
+            with ThreadPoolExecutor(nclients) as ex:
+                list(ex.map(one, creqs))
+            wall = time.time() - t0
+            curve.append(
+                {"clients": nclients, "requests": n_reqs,
+                 "qps": round(n_reqs / wall, 3)}
+            )
     return {
         "per_query": per_query,
         "p50_s": round(statistics.median(lat), 4),
@@ -450,7 +472,81 @@ def run_queries(spark, root: str) -> dict:
         "qps": round(len(lat) / sum(lat), 3),
         "concurrent_clients": CONCURRENT_CLIENTS,
         "concurrent_qps": round(len(reqs) / conc_wall, 3),
+        "capacity_curve": curve,
     }
+
+
+SKIP_LARGE = os.environ.get("SPARK_GRAFT_SKIP_LARGE", "") == "1"
+LARGE_QUERY_RUNS = int(os.environ.get("SPARK_GRAFT_LARGE_RUNS", "3"))
+
+
+def run_large(corpus: str) -> dict:
+    """Build + query at the large corpus (the 960k-doc scaling corpus, vs
+    5k docs at sf0.1). VERDICT r5 Next #3: the sf0.1 numbers are fixed-
+    overhead-dominated (build docs/s swung ±35%, per-query p50 ±15% on
+    identical code); at ~1M docs the overhead fraction is small enough
+    that run-to-run spread resolves real regressions. One untimed warmup
+    build (1/8 slice) pays JIT/worker imports, then ONE timed full
+    build; one untimed query warmup pass, then LARGE_QUERY_RUNS timed
+    passes whose per-run p50 spread is the stability statistic."""
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from bayard_spark.query import SearchEngine
+
+    spark = make_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    src = spark.read.parquet(corpus)
+    n_docs = src.count()
+    shm_idx = "/dev/shm/bayard-bench-idx"
+    os.makedirs(shm_idx, exist_ok=True)
+    warm_root = _tf.mkdtemp(prefix="bench_lwarm_", dir=shm_idx)
+    warm_src = src.filter(F.pmod(F.xxhash64("url"), F.lit(8)) == 0)
+    _one_scale_build(spark, warm_src, warm_root)
+    shutil.rmtree(warm_root, ignore_errors=True)
+    root = _tf.mkdtemp(prefix="bench_large_", dir=shm_idx)
+    try:
+        build_s = _one_scale_build(spark, src, root)
+        engine = SearchEngine(spark, root)
+
+        def one_pass() -> dict[str, float]:
+            out = {}
+            for e in QUERY_SET:
+                if len(e) != 2:
+                    continue  # pagination draws are sf0.1 report-only
+                name, q = e
+                t0 = time.time()
+                engine.search(
+                    {"query": q, "collection_kind": "top_docs", "hits": 10}
+                )
+                out[name] = time.time() - t0
+            return out
+
+        one_pass()  # untimed warmup
+        runs = [one_pass() for _ in range(LARGE_QUERY_RUNS)]
+        p50s = [
+            round(statistics.median(sorted(r.values())), 4) for r in runs
+        ]
+        spread = (max(p50s) - min(p50s)) / statistics.median(p50s)
+        per_query = {
+            name: round(min(r[name] for r in runs), 4)
+            for name in runs[0]
+        }
+        return {
+            "n_docs": n_docs,
+            "build_s": round(build_s, 2),
+            "docs_per_sec": round(n_docs / build_s, 1),
+            "cpus": CPUS,
+            "per_query": per_query,
+            "p50_per_run": p50s,
+            "p50_s": round(statistics.median(p50s), 4),
+            "p50_run_spread": round(spread, 3),
+            "query_runs": LARGE_QUERY_RUNS,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        spark.stop()
 
 
 def main() -> None:
@@ -460,11 +556,15 @@ def main() -> None:
     qstats = run_queries(spark, root)
     spark.stop()
 
+    large = None
+    if not SKIP_LARGE:
+        large = run_large(materialize_scaling_corpus())
+
     scaling = None
     if not SKIP_SCALING:
         corpus = materialize_scaling_corpus()
         scaling, lo, hi2 = run_scaling(corpus)
-        write_baseline_md(hi2, lo, scaling, qstats)
+        write_baseline_md(hi2, lo, scaling, qstats, large)
     shutil.rmtree(root, ignore_errors=True)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -486,7 +586,9 @@ def main() -> None:
             "qps": qstats["qps"],
             "concurrent_clients": qstats["concurrent_clients"],
             "concurrent_qps": qstats["concurrent_qps"],
+            "capacity_curve": qstats.get("capacity_curve", []),
         },
+        "large": large,
         "scaling": scaling,
     }
     print(json.dumps(out))
@@ -546,7 +648,9 @@ hot_df_threshold does.
 """
 
 
-def write_baseline_md(hi: dict, lo: dict, scaling: dict, qstats: dict) -> None:
+def write_baseline_md(
+    hi: dict, lo: dict, scaling: dict, qstats: dict, large: dict | None = None
+) -> None:
     os.makedirs("BENCH", exist_ok=True)
     prev = _prev_round_queries()
     delta_rows = ""
@@ -637,8 +741,46 @@ p95 {qstats['p95_s']} s, {qstats['qps']} QPS sequential,
 **{qstats['concurrent_qps']} QPS with {qstats['concurrent_clients']}
 concurrent clients** (one shared engine snapshot; Spark schedules the
 concurrent actions onto idle cores — serving capacity, not latency).
-{delta}{skew_section()}"""
+{curve_section(qstats)}{large_section(large)}{delta}{skew_section()}"""
         )
+
+
+def curve_section(qstats: dict) -> str:
+    curve = qstats.get("capacity_curve") or []
+    if not curve:
+        return ""
+    rows = "".join(
+        f"| {p['clients']} | {p['requests']} | {p['qps']} |\n" for p in curve
+    )
+    return f"""
+
+## Serving capacity curve (one shared engine snapshot)
+
+| clients | requests | QPS |
+|---|---|---|
+{rows}"""
+
+
+def large_section(large: dict | None) -> str:
+    if not large:
+        return ""
+    qrows = "".join(
+        f"| {n} | {s:.3f} |\n" for n, s in large["per_query"].items()
+    )
+    return f"""
+
+## Large-corpus section ({large['n_docs']} docs, local[{large['cpus']}])
+
+Build: {large['build_s']} s wall → **{large['docs_per_sec']} docs/s**
+(one warm timed build; warmup build untimed). Queries: {large['query_runs']}
+full passes after an untimed warmup pass; per-run p50
+{large['p50_per_run']} s → median **{large['p50_s']} s**, run-to-run
+spread **{large['p50_run_spread'] * 100:.1f}%** (VERDICT r5 Next #3
+target: <10%).
+
+| query | best s |
+|---|---|
+{qrows}"""
 
 
 if __name__ == "__main__":
