@@ -10,9 +10,10 @@ Model (verified word-by-word against the oracle):
 
 Validated to 0 mismatches on 92,788 oracle probes (4,830 structured
 prefix×stem×suffix combinations + 87,958 held-out random/morphological
-words across 9 seeds). Round 5 adds a REAL-WORD held-out set (203
-natural forms with articles/clitics/plurals never in any fitting grid,
-tools/snowball_vocab/real/arabic.txt): 100% agreement, pinned in
+words across 9 seeds). Round 6 grew the REAL-WORD set to
+1,452 natural forms (tools/inflect_gen.py: clitic prefixes, pronominal
+suffixes with the ة→ت shift, productive duals, sound-verb paradigms
+over real lemmas): 100% agreement, pinned in
 tests/data/snowball/arabic_realwords.tsv.
 
 - Checks1: a definite-article prefix (بال/كال at len>4, ال/لل at len>3)

@@ -6,12 +6,19 @@ Greek Language" with Saroukos's improvements) by probing the PostgreSQL
 stopword-free snowball oracle (tools/snowball_check.py). Validated at
 100% on the probe suite (2,836), a 3,276-word stem x suffix corpus, a
 4,355-word held-out set over fresh stems, and 40,721 random-string
-probes across six seeds (one known divergence: the oracle emits a
-buffer artifact on the degenerate 2-letter stem νε + ανε). Round 5 adds
-a REAL-WORD held-out set (190 natural noun/verb/adjective inflections
-never in any fitting grid, tools/snowball_vocab/real/greek.txt): 100%
-agreement, pinned in tests/data/snowball/greek_realwords.tsv. Reference
-accepts 'greek' in bayard/src/index/token_filter/stemming.rs:249-265.
+probes across six seeds. Round 6 grew the REAL-WORD set to 721 natural
+inflections (tools/inflect_gen.py: declension/conjugation paradigms
+over real lemmas, accent-shifting cells excluded) at 100% agreement,
+pinned in tests/data/snowball/greek_realwords.tsv; fitting them
+surfaced and fixed two rules unreachable by 1-3-letter suffix probes —
+the ΕΤΕ re-attach cluster list (μαθαινετε→μαθαινετ) and the ΙΔ-remnant
+ε-context block (κλειδια→κλειδ, βιδια→β) — then 45,000 fresh random
+probes re-measured clean. Known degenerate divergences, all on
+whole-word-equals-suffix NON-words, never on real tokens: the νε+ανε
+buffer artifact, and bare ετε/ανε, which the oracle returns verbatim
+(accents intact) while the port returns the accent-normalized form.
+Reference accepts 'greek' in
+bayard/src/index/token_filter/stemming.rs:249-265.
 
 Structure: a cascade of suffix steps with per-step exception lists and
 among-commit semantics (a matched suffix whose stem is too short fails
@@ -28,6 +35,13 @@ _ACCENT = str.maketrans(
     "αεηιουωιυιυσ",
 )
 _VOWELS = set("αεηιουω")
+
+# stem-suffix clusters that take ΕΤ back after ΕΤΕ removal (probed
+# one-by-one against the oracle; matches the published exception list)
+_ETE_ET = ("οδ", "αιρ", "φορ", "ταθ", "διαθ", "σχ", "ενδ", "ευρ",
+           "τιθ", "υπερθ", "ραθ", "ενθ", "ροθ", "σθ", "πυρ", "αιν",
+           "συνδ", "συν", "συνθ", "χωρ", "πον", "βρ", "καθ", "ευθ",
+           "εκθ", "νετ", "ρον", "αρκ", "βαρ", "βολ", "ωφελ")
 
 
 def _deaccent(w: str) -> str:
@@ -149,6 +163,9 @@ _IST_EXACT = {"μ", "π", "απ", "αρ", "ηδ", "κτ", "σκ", "σχ", "υψ"
               "φα", "χρ", "χτ", "ακτ", "αορ", "ασχ", "ατα", "αχν",
               "αχτ", "γεμ", "γυρ", "εμπ", "ευπ", "εχθ", "ηφα", "ηχ",
               "ιφ", "φιλ", "φρ"}
+# exact stems that take ΙΣΜ back (σεισμος→σεισμ — probed r6, exact
+# match like _IST_EXACT: ξσεισμος→ξσε strips)
+_ISM_EXACT = {"σε", "μετασε", "μικροσε", "εγκλε", "αποκλε"}
 _ISM_IST = sorted(["ισμοσ", "ισμου", "ισμο", "ισμα", "ισμων",
                    "ισμουσ", "ισμοι",
                    "ιστοσ", "ιστου", "ιστο", "ιστη", "ιστησ",
@@ -324,11 +341,16 @@ def greek(word: str) -> str:
             return w[: -len(s)] + "μ"
     if w.endswith("μα") and not w.endswith("ιουμα"):
         return w[:-2] + "μ"
-    # ΕΤΕ: strip; a vowel-final stem takes ΕΤ back (βιβλιετε→βιβλιετ,
-    # γραφετε→γραφ)
+    # ΕΤΕ: strip; the stem takes ΕΤ back when it ends in a vowel other
+    # than υ (βιβλιετε→βιβλιετ, αετε→αετ, but ξυετε→ξυ) or in one of the
+    # published cluster exceptions (μαθαινετε→μαθαινετ via ΑΙΝ) —
+    # re-derived against the oracle round 6: the old vowel-only αει
+    # condition missed ο/ω/η and the entire cluster list, which 1-3
+    # letter random-suffix probes could never reach (the context needs
+    # 4+ trailing letters). Verified cluster-by-cluster vs pg.
     if w.endswith("ετε") and len(w) > 3:
         stem = w[:-3]
-        if len(stem) >= 2 and stem[-1] in "αει":
+        if stem[-1] in "αεηιοω" or stem.endswith(_ETE_ET):
             return stem + "ετ"
         return stem
     # ΑΝΕ: strip; a vowel-final stem takes ΑΝ back (βιβλιανε→βιβλιαν,
@@ -341,15 +363,21 @@ def greek(word: str) -> str:
             return stem + "αν"
         return stem
     # ΙΑ/ΙΟΥ/ΙΩΝ: strip; a vowel-final stem takes Ι back
-    # (βιβλιια→βιβλιι, σπιτια→σπιτ); ΙΑ/ΙΩΝ additionally drop a bare
-    # ΙΔ remnant (παιδια→πα, but παιδιου→παιδ)
+    # (βιβλιια→βιβλιι, σπιτια→σπιτ); ΙΑ/ΙΩΝ additionally drop an ΙΔ
+    # remnant (παιδια→πα, βιδια→β) UNLESS the stem ends ειδ
+    # (κλειδια→κλειδ — probed r6: the block is the ε context, not a
+    # lexical list, and no minimum stem length applies except that a
+    # bare ιδ stem would strip to empty, which fails the whole cascade
+    # (ιδια→ιδια, among-commit semantics)
     for suf in ("ιων", "ιου", "ια"):
         if w.endswith(suf) and len(w) - len(suf) >= 1:
             stem = w[: -len(suf)]
             if stem[-1] in _VOWELS:
                 return stem + "ι"
             if suf in ("ια", "ιων") and stem.endswith("ιδ") \
-                    and len(stem) >= 4:
+                    and not stem.endswith("ειδ"):
+                if len(stem) == 2:
+                    return w
                 return stem[:-2]
             return stem
     # ΙΣΜ / ΙΣΤ derivationals (among-commit: a match whose stem is too
@@ -361,6 +389,8 @@ def greek(word: str) -> str:
             stem = w[: -len(s)]
             if s.startswith("ιστ") and stem in _IST_EXACT:
                 return stem + "ιστ"
+            if s.startswith("ισμ") and stem in _ISM_EXACT:
+                return stem + "ισμ"
             return stem
     # final big list (longest first; among-commit — a whole-word match
     # keeps the word: ουμε stays ουμε)

@@ -18,10 +18,17 @@ random legal-script sequences across 5 seeds. The residual random-script
 mismatches are pathological pulli-cluster chains (e.g. bare-glide finals
 after consonant clusters) whose resolution depends on snowball's cursor
 state across routine boundaries, which a pure suffix pipeline cannot
-carry; none arise from well-formed morphology. Round 5 adds a
-REAL-WORD held-out set (138 natural case/plural/tense inflections
-never in any fitting grid, tools/snowball_vocab/real/tamil.txt): 100%
-agreement, pinned in tests/data/snowball/tamil_realwords.tsv.
+carry; none arise from well-formed morphology. Round 6 grew the
+REAL-WORD set to 1,107 natural inflections (tools/inflect_gen.py:
+noun case paradigms with sandhi gemination and glides, verb
+tense x person forms): 100% agreement, pinned in
+tests/data/snowball/tamil_realwords.tsv. Fitting them surfaced one
+real rule gap: the future ப-form person suffixes must strip only the
+person ending, leaving ப் for the ending fixes (கேட்பான் → கேட்ப் →
+கேள் via ட்ப்→ள்; கற்பான் → கற்ப் → க via the stop்stop் drop) — the
+old whole-suffix delete mis-stemmed stop-final stems. Random-script
+agreement re-measured after the fix: 99.26% on 30k fresh draws, the
+same pathological pulli-cluster band as before.
 
 Structure (mirrors the published algorithm's routines):
 
@@ -310,9 +317,15 @@ _TENSE_PLAIN = _sorted_rules(
         ("மின்", None), ("மார்", None), ("பின்", None),
         ("கிற", None), ("கின்ற", None), ("ாநின்ற", None),
         ("கிறேன்", None), ("கிறாய்", None), ("கிறான்", None), ("கிறாள்", None), ("கிறார்", None), ("கிறது", None), ("கிறோம்", None), ("கிறீர்", None), ("கிறீர்கள்", None), ("கிறார்கள்", None), ("கிறனர்", None), ("கின்றேன்", None), ("கின்றாய்", None), ("கின்றான்", None), ("கின்றாள்", None), ("கின்றார்", None), ("கின்றது", None), ("கின்றோம்", None), ("கின்றீர்", None), ("கின்றீர்கள்", None), ("கின்றார்கள்", None), ("கின்றனர்", None), ("ாநின்றேன்", None), ("ாநின்றாய்", None), ("ாநின்றான்", None), ("ாநின்றாள்", None), ("ாநின்றார்", None), ("ாநின்றது", None), ("ாநின்றோம்", None), ("ாநின்றீர்", None), ("ாநின்றீர்கள்", None), ("ாநின்றார்கள்", None), ("ாநின்றனர்", None),
-        ("பேன்", None), ("பாய்", None), ("பான்", None), ("பாள்", None),
-        ("பார்", None), ("பது", None), ("போம்", None), ("பீர்", None),
-        ("பீர்கள்", None), ("பார்கள்", None),
+        # future ப-forms strip the PERSON ending only, leaving ப் for
+        # the ending fixes (probed r6: கேட்பான்→கேட்ப்→கேள் via the
+        # ட்ப்→ள் rule, கற்பான்→கற்ப்→க via the stop்stop் drop — the
+        # old whole-suffix delete skipped the intermediate ப் state and
+        # mis-stemmed stop-final stems). பது stays a delete: the oracle
+        # reaches it as து-strip then bare-ப delete (கேட்பது→கே).
+        ("பேன்", "ப்"), ("பாய்", "ப்"), ("பான்", "ப்"), ("பாள்", "ப்"),
+        ("பார்", "ப்"), ("பது", None), ("போம்", "ப்"), ("பீர்", "ப்"),
+        ("பீர்கள்", "ப்"), ("பார்கள்", "ப்"),
         ("விந்தது", None), ("வித்தது", None), ("பிந்தது", None),
         ("பித்தது", None), ("னிர்", P),
         ("த்தேன்", None), ("த்தாய்", None), ("த்தான்", None), ("த்தாள்", None), ("த்தார்", None), ("த்தது", None), ("த்தோம்", None), ("த்தீர்", None), ("த்தீர்கள்", None), ("த்தார்கள்", None), ("த்தனர்", None), ("ந்தேன்", None), ("ந்தாய்", None), ("ந்தான்", None), ("ந்தாள்", None), ("ந்தார்", None), ("ந்தது", None), ("ந்தோம்", None), ("ந்தீர்", None), ("ந்தீர்கள்", None), ("ந்தார்கள்", None), ("ந்தனர்", None),

@@ -5,10 +5,11 @@ turkish/stemmer.html, Evren Kapusuz Çilden's stemmer) by probing the
 PostgreSQL stopword-free snowball oracle (tools/snowball_check.py);
 registered at 100% agreement on the 11,974-word probe suite (real-word
 vocab + pseudo-words + exhaustive short-suffix enumeration) and
-70,744/70,745 on adversarial random strings. Round 5 adds a REAL-WORD
-held-out set (298 natural inflected forms never in any fitting grid,
-tools/snowball_vocab/real/turkish.txt): 100% agreement, pinned in
-tests/data/snowball/turkish_realwords.tsv. Reference accepts 'turkish'
+70,744/70,745 on adversarial random strings. Round 6 grew the REAL-WORD
+set to 1,432 natural inflections (tools/inflect_gen.py: full noun
+case/possessive and verb tense paradigms over real lemmas with vowel
+harmony, stop voicing and buffer consonants applied): 100% agreement,
+pinned in tests/data/snowball/turkish_realwords.tsv. Reference accepts 'turkish'
 in bayard/src/index/token_filter/stemming.rs:249-265.
 
 Execution model (every behavior verified word-by-word against the oracle):
