@@ -463,9 +463,17 @@ def decode_image_pixels(data: bytes) -> np.ndarray:
         return decode_bmp_pixels(data)
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif_pixels(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        from bayard_spark.functions.webp import decode_webp_pixels
+
+        try:
+            return decode_webp_pixels(data)
+        except NotImplementedError as e:
+            raise MediaDecodeUnavailable(str(e)) from e
     raise MediaDecodeUnavailable(
-        "no dep-free pixel decoder for this container (PNG, baseline "
-        "JPEG, BMP and GIF supported; WebP pixels need a VP8 codec)"
+        "no dep-free pixel decoder for this container (PNG, baseline+"
+        "progressive JPEG, BMP, GIF and lossless WebP supported; lossy "
+        "VP8 pixels need a real codec)"
     )
 
 
@@ -503,13 +511,13 @@ def image_features(
 ) -> DataFrame:
     """Feature-extract each image → float vector.
 
-    real_decode=True runs the REAL dep-free pixel decoders — PNG
-    (decode_png_pixels: zlib inflate + unfilter) and baseline/progressive JPEG
-    (functions/jpeg.py: Huffman entropy decode + IDCT, round 5) — and
-    derives the vector from actual pixels; other containers raise
-    MediaDecodeUnavailable. The default stub path keeps the hash-derived
-    vector so the downstream ANN / dedup pipeline is exercisable on
-    arbitrary bytes.
+    real_decode=True runs the REAL dep-free pixel decoders — PNG (zlib
+    inflate + unfilter), baseline/progressive JPEG (functions/jpeg.py),
+    BMP, GIF first-frame, and lossless WebP (functions/webp.py: full
+    VP8L, round 6) — and derives the vector from actual pixels; other
+    containers raise MediaDecodeUnavailable. The default stub path
+    keeps the hash-derived vector so the downstream ANN / dedup
+    pipeline is exercisable on arbitrary bytes.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -477,7 +477,9 @@ def run_queries(spark, root: str) -> dict:
 
 
 SKIP_LARGE = os.environ.get("SPARK_GRAFT_SKIP_LARGE", "") == "1"
-LARGE_QUERY_RUNS = int(os.environ.get("SPARK_GRAFT_LARGE_RUNS", "3"))
+# 4 passes: with 3, the max-min/median spread statistic is itself noisy
+# (first full run measured 10.9% from one slow term_hot draw)
+LARGE_QUERY_RUNS = int(os.environ.get("SPARK_GRAFT_LARGE_RUNS", "4"))
 
 
 def run_large(corpus: str) -> dict:
@@ -716,8 +718,13 @@ Efficiency **{scaling['efficiency']}** (per-arm best; median of rounds
 {scaling['efficiency_median_of_rounds']}; target ≥ 0.8 per BASELINE.json).
 
 Measurement variance: warm per-arm throughput on this shared box moves
-±10% run-to-run (GC/scheduling noise); per-round ratios above 1.0 are a
-slow lo-arm draw, not real superlinearity.
+±10% run-to-run within a quiet window (GC/scheduling noise); per-round
+ratios above 1.0 are a slow lo-arm draw, not real superlinearity.
+Across DAYS the box's absolute speed swings far more (the r6 run
+measured both arms AND the local[32] large build ~40% below the r5 run
+on identical code — host steal moves every number together), which is
+exactly why the ratio of interleaved arms, not absolute docs/s, is the
+scaling statistic.
 
 ## What made it scale (round-2 changes, measured with tools/scale_experiment.py)
 
@@ -752,13 +759,32 @@ def curve_section(qstats: dict) -> str:
     rows = "".join(
         f"| {p['clients']} | {p['requests']} | {p['qps']} |\n" for p in curve
     )
+    best = max(curve, key=lambda p: p["qps"])
+    last = curve[-1]
+    if last["qps"] < 0.95 * best["qps"]:
+        knee = (
+            f"Saturation knee at **{best['clients']} clients "
+            f"({best['qps']} QPS)**; beyond it QPS falls "
+            f"({last['clients']} clients → {last['qps']}). The binding "
+            "resource is the executor core pool: each query is a short "
+            "multi-stage Spark job, and past the knee more concurrent "
+            "jobs than cores/2 queue in the FIFO scheduler and thrash "
+            "the driver's scheduling lock instead of overlapping "
+            "compute."
+        )
+    else:
+        knee = (
+            f"No saturation inside the swept range (best "
+            f"{best['qps']} QPS at {best['clients']} clients)."
+        )
     return f"""
 
 ## Serving capacity curve (one shared engine snapshot)
 
 | clients | requests | QPS |
 |---|---|---|
-{rows}"""
+{rows}
+{knee}"""
 
 
 def large_section(large: dict | None) -> str:
