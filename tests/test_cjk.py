@@ -179,24 +179,31 @@ def test_lindera_fidelity_measurement():
 
 
 def test_lindera_fidelity_dev_and_heldout():
-    """Round-6 floors for the Viterbi-lattice segmenter: both dev sets
-    (cjk_lindera_heldout.tsv — r5 dev; heldout2.tsv — the r5 blind set,
-    consumed by r6 lattice tuning) measured 1.000; the FRESH blind set
-    (heldout3.tsv — written after the r6 lattice froze, segmentations
-    fixed before the first run, measured once) measured macro token-F1
-    0.932, exact 28/40. None may regress. If the segmenter changes,
-    heldout3 becomes dev and a NEW blind set must be written (protocol
-    in tools/cjk_fidelity.py)."""
+    """Round-6 floors for the Viterbi-lattice segmenter after the
+    vocabulary-growth pass: the three dev sets (heldout.tsv, heldout2.tsv
+    and heldout3.tsv — each a former blind set consumed by later tuning)
+    measure 1.000; the FRESH blind set (heldout4.tsv — written after the
+    vocabulary growth froze, segmentations fixed before the first run,
+    measured once) measured macro token-F1 0.933, exact 29/40. None may
+    regress. If the segmenter changes, heldout4 becomes dev and a NEW
+    blind set must be written (protocol in tools/cjk_fidelity.py)."""
     import sys
     from pathlib import Path
 
     sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
-    from tools.cjk_fidelity import HELDOUT, HELDOUT2, HELDOUT3, measure
+    from tools.cjk_fidelity import (
+        HELDOUT,
+        HELDOUT2,
+        HELDOUT3,
+        HELDOUT4,
+        measure,
+    )
 
     for path, floor, label in (
         (HELDOUT, 1.0, "dev"),
         (HELDOUT2, 1.0, "dev2"),
-        (HELDOUT3, 0.93, "blind held-out"),
+        (HELDOUT3, 1.0, "dev3"),
+        (HELDOUT4, 0.93, "blind held-out"),
     ):
         scores = measure(path)
         macro = sum(f1 for *_, f1 in scores) / len(scores)

@@ -14,11 +14,19 @@ ipadic) segmentations — TWO metrics (ADVICE r4):
   macro token-F1 0.850, exact 21/40 (the honest r5 number). The r6
   Viterbi-lattice rewrite then tuned on its misses, so it is now
   DEV2 — no longer a held-out claim.
-- tests/data/cjk_lindera_heldout3.tsv — 40 FRESH sentences written
-  after the r6 lattice + vocabulary froze, segmentations fixed before
-  the first run, measured ONCE. This is the honest current
-  generalization number. Never tune on misses from this file; if the
-  segmenter changes, retire it to dev and write a new blind set.
+- tests/data/cjk_lindera_heldout3.tsv — 40 fresh sentences written
+  after the r6 lattice froze, measured ONCE against it: macro 0.932,
+  exact 28/40. A vocabulary-growth pass (motivated by its miss
+  CATEGORIES) then made it DEV3 — no longer a held-out claim.
+- tests/data/cjk_lindera_heldout4.tsv — 40 FRESH sentences written
+  after the r6 vocabulary growth froze, segmentations fixed before the
+  first run, measured ONCE: macro 0.933, exact 29/40. This is the
+  honest current generalization number — note it matches heldout3's
+  pre-growth 0.932: two independent blind draws agree the method's
+  ceiling on fresh text is ~0.93 (fresh text always carries new OOV;
+  in-distribution dev sets all measure 1.000). Never tune on misses
+  from this file; if the segmenter changes, retire it to dev and write
+  a new blind set.
 
 Reports per-sentence token multiset F1 and the macro average per set.
 
@@ -52,6 +60,7 @@ GOLDEN = os.path.join(_DATA, "cjk_lindera_golden.tsv")
 HELDOUT = os.path.join(_DATA, "cjk_lindera_heldout.tsv")
 HELDOUT2 = os.path.join(_DATA, "cjk_lindera_heldout2.tsv")
 HELDOUT3 = os.path.join(_DATA, "cjk_lindera_heldout3.tsv")
+HELDOUT4 = os.path.join(_DATA, "cjk_lindera_heldout4.tsv")
 
 
 def sentence_f1(got: list[str], want: list[str]) -> float:
@@ -99,7 +108,10 @@ def main() -> None:
     report(GOLDEN, "in-vocabulary (lexicon saw these words)")
     report(HELDOUT, "dev (held-out until the r5 morphology layer)")
     report(HELDOUT2, "dev2 (was the r5 blind set; consumed by r6 tuning)")
-    report(HELDOUT3, "HELD-OUT (blind; written after the r6 lattice froze)")
+    report(HELDOUT3, "dev3 (was the r6 lattice blind set; consumed by "
+                     "the vocabulary-growth pass)")
+    report(HELDOUT4, "HELD-OUT (blind; written after the r6 vocabulary "
+                     "growth froze)")
 
 
 if __name__ == "__main__":
