@@ -88,6 +88,66 @@ def varint_decode(buf: bytes | bytearray | memoryview) -> np.ndarray:
     return vals
 
 
+def varint_decode_many(
+    buf, chunk_offsets: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode N concatenated varint streams in ONE vectorized pass.
+
+    `buf` holds the streams back to back; `chunk_offsets` (int64, N+1) are
+    the byte offsets delimiting them. Returns `(values, value_offsets)`
+    where `value_offsets` (N+1) slices `values` per stream.
+
+    This is the batch form of `varint_decode`: one numpy kernel decodes an
+    entire Arrow batch of posting blocks instead of one Python call per
+    block (the per-call overhead dominated hot-term decode — ~32 µs/call ×
+    3 streams × df/128 blocks). Values never span chunk boundaries (each
+    chunk is a complete stream), so the per-stream value counts fall out of
+    a searchsorted over the value-end byte positions.
+    """
+    b = np.frombuffer(buf, dtype=np.uint8)
+    offs = np.asarray(chunk_offsets, dtype=np.int64)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64), np.zeros(offs.size, dtype=np.int64)
+    is_end = (b & 0x80) == 0
+    if is_end.all():
+        # every value fits in 7 bits (the common case for doc-id deltas and
+        # tfs): bytes ARE the values, offsets carry over unchanged
+        return b.astype(np.uint64), offs.copy()
+    ends_idx = np.flatnonzero(is_end)
+    n_vals = ends_idx.size
+    group = np.zeros(b.size, dtype=np.int64)
+    group[1:] = np.cumsum(is_end[:-1])
+    group_starts = np.zeros(n_vals, dtype=np.int64)
+    group_starts[1:] = ends_idx[:-1] + 1
+    pos_in_group = np.arange(b.size, dtype=np.int64) - group_starts[group]
+    contrib = (b & np.uint8(0x7F)).astype(np.uint64) << (
+        np.uint64(7) * pos_in_group.astype(np.uint64)
+    )
+    # per-value sum of contributions: group ids are ascending, so this is a
+    # contiguous segmented reduce — np.add.reduceat, not the scattered (and
+    # ~10x slower) np.add.at of the single-stream decoder
+    vals = np.add.reduceat(contrib, group_starts)
+    value_offsets = np.searchsorted(ends_idx, offs, side="left")
+    return vals, value_offsets
+
+
+def delta_decode_segments(
+    deltas: np.ndarray, value_offsets: np.ndarray
+) -> np.ndarray:
+    """Segmented delta-decode: cumsum within each `value_offsets` slice,
+    where the FIRST value of each segment is absolute (delta_encode keeps
+    v[0]). One global cumsum, then each segment subtracts the running total
+    at its start; uint64 wraparound cancels exactly in the subtraction, so
+    the result is exact whenever the true values fit in uint64."""
+    d = np.asarray(deltas, dtype=np.uint64)
+    offs = np.asarray(value_offsets, dtype=np.int64)
+    c = np.cumsum(d, dtype=np.uint64)
+    starts = offs[:-1]
+    base = np.where(starts > 0, c[np.maximum(starts - 1, 0)], np.uint64(0))
+    with np.errstate(over="ignore"):
+        return c - np.repeat(base, np.diff(offs))
+
+
 def delta_encode(sorted_vals: np.ndarray) -> np.ndarray:
     v = np.asarray(sorted_vals, dtype=np.uint64)
     if v.size == 0:

@@ -39,7 +39,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bayard_spark.build.codec import varint_decode, decode_block
+from bayard_spark.build.codec import (
+    decode_block,
+    delta_decode_segments,
+    varint_decode,
+    varint_decode_many,
+)
 from bayard_spark.query.parser import parse_query_string
 from bayard_spark.schema import IndexMeta, IndexPaths
 
@@ -261,11 +266,25 @@ class SearchEngine:
         n = self.stats[fld]["n_docs"]
         return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
 
+    # Posting-count hint above which the block frame is repartitioned
+    # before decode. A single term's blocks live in ONE bucket file, so
+    # without this the whole posting list decodes on ONE task no matter
+    # how many executors the cluster has (measured: 960k postings = 7508
+    # blocks on one core, ~2 s; the repartition shuffles only the block
+    # payload bytes — ~3.5 MB per million postings — and spreads decode
+    # across the cluster, which is the only plan that works when a hot
+    # term's list is billions of postings at 100 TB).
+    DECODE_PARALLEL_MIN_DOCS = 131_072
+    # Target postings per decode task: small enough to use the cluster,
+    # large enough that per-task overhead stays <10% of decode work.
+    DECODE_DOCS_PER_TASK = 32_768
+
     def _decode(
         self,
         blocks: DataFrame,
         want_positions: bool,
         candidate_ids=None,
+        n_docs_hint: int | None = None,
     ) -> DataFrame:
         """Decode block payloads → (term, doc_id, tf, len[, positions]).
 
@@ -276,6 +295,12 @@ class SearchEngine:
         candidate rows. This is how a phrase with one rare and one huge
         term avoids materializing the huge term's positions at 100 TB
         (tantivy's doc-at-a-time intersection restated block-at-a-time).
+
+        n_docs_hint (an upper bound on the decoded posting count, from the
+        dictionary's df — no extra job): above DECODE_PARALLEL_MIN_DOCS the
+        block frame is round-robin repartitioned so decode parallelizes
+        across the cluster instead of running on the one task that scans
+        the term's bucket file.
         """
 
         lossy = self.meta.lossy_fieldnorms
@@ -303,7 +328,71 @@ class SearchEngine:
                 # rare term was tombstoned): emit nothing rather than index
                 # into an empty candidate array below (ADVICE r4)
                 return
+
+            def bin_np(arr):
+                # zero-copy (data, byte-offsets) view of a BinaryArray —
+                # None when nulls are present (never written by our
+                # indexer, but fall back to the per-block path if so)
+                if arr.null_count:
+                    return None
+                bufs = arr.buffers()
+                offs = np.frombuffer(bufs[1], dtype=np.int32)[
+                    arr.offset : arr.offset + len(arr) + 1
+                ].astype(np.int64)
+                if bufs[2] is None:
+                    return np.empty(0, dtype=np.uint8), offs - offs[0]
+                data = np.frombuffer(bufs[2], dtype=np.uint8)
+                return data[offs[0] : offs[-1]], offs - offs[0]
+
             for rb in batches:
+                if rb.num_rows == 0:
+                    continue
+                if cand is None and not want_positions:
+                    # BATCHED fast path (the term/multi-term scoring hot
+                    # path): decode the whole Arrow batch's payloads in
+                    # three vectorized varint passes over the binary
+                    # columns' contiguous buffers — no per-block Python
+                    # calls, no per-cell .as_py() copies (measured ~7x on
+                    # a 960k-posting hot term vs the per-block loop).
+                    views = [bin_np(rb.column(j)) for j in (1, 2, 3)]
+                    if all(v is not None for v in views):
+                        (dd, do), (td, to), (ld, lo) = views
+                        deltas, voffs = varint_decode_many(dd, do)
+                        doc_all = delta_decode_segments(deltas, voffs)
+                        tfs, _ = varint_decode_many(td, to)
+                        lens, _ = varint_decode_many(ld, lo)
+                        if lossy:
+                            lens = quantize(lens)
+                        counts = np.diff(voffs)
+                        n = int(voffs[-1])
+                        codes = np.repeat(
+                            np.arange(rb.num_rows, dtype=np.int32), counts
+                        )
+                        term_arr = pa.DictionaryArray.from_arrays(
+                            pa.array(codes, type=pa.int32()), rb.column(0)
+                        ).cast(pa.string())
+                        yield pa.RecordBatch.from_arrays(
+                            [
+                                term_arr,
+                                pa.array(
+                                    doc_all.astype(np.int64),
+                                    type=pa.int64(),
+                                ),
+                                pa.array(
+                                    tfs.astype(np.float64),
+                                    type=pa.float64(),
+                                ),
+                                pa.array(
+                                    lens.astype(np.float64),
+                                    type=pa.float64(),
+                                ),
+                                pa.nulls(n, type=pa.list_(pa.int32())),
+                            ],
+                            names=[
+                                "term", "doc_id", "tf", "len", "positions"
+                            ],
+                        )
+                        continue
                 terms = rb.column(0).to_pylist()
                 doc_col = rb.column(1)
                 tf_col = rb.column(2)
@@ -395,7 +484,19 @@ class SearchEngine:
         cols = ["term", "doc_bytes", "tf_bytes", "len_bytes"] + (
             ["pos_bytes"] if want_positions else []
         )
-        decoded = blocks.select(*cols).mapInArrow(run, DECODED_SCHEMA)
+        payload = blocks.select(*cols)
+        if (
+            n_docs_hint is not None
+            and n_docs_hint >= self.DECODE_PARALLEL_MIN_DOCS
+        ):
+            target = int(
+                min(
+                    self.spark.sparkContext.defaultParallelism,
+                    max(2, n_docs_hint // self.DECODE_DOCS_PER_TASK),
+                )
+            )
+            payload = payload.repartition(target)
+        decoded = payload.mapInArrow(run, DECODED_SCHEMA)
         if self.tombstones is not None:
             from bayard_spark.build.segments import tombstone_side
 
@@ -456,7 +557,9 @@ class SearchEngine:
             if pruned:
                 blocks = self._prune_blocks(blocks, idf, avg)
             cached = (
-                self._decode(blocks, want_positions=False)
+                self._decode(
+                    blocks, want_positions=False, n_docs_hint=df_count
+                )
                 .withColumn("score", self._score_expr(idf, avg))
                 .select("doc_id", "score")
             )
@@ -544,6 +647,7 @@ class SearchEngine:
                 self._decode(
                     self._leaf_blocks(fld, order_terms[0]),
                     want_positions=False,
+                    n_docs_hint=rare_df,
                 )
                 .select("doc_id")
                 .collect()
@@ -567,13 +671,16 @@ class SearchEngine:
                     self._leaf_blocks(fld, t),
                     want_positions=True,
                     candidate_ids=candidates,
+                    n_docs_hint=df_map[t],
                 ).select("doc_id", "positions", "len")
             else:
                 key = ("pos", fld, t)
                 base_t = self._leaf_cache.get(key)
                 if base_t is None:
                     base_t = self._decode(
-                        self._leaf_blocks(fld, t), want_positions=True
+                        self._leaf_blocks(fld, t),
+                        want_positions=True,
+                        n_docs_hint=df_map[t],
                     ).select("doc_id", "positions", "len")
                     self._leaf_cache[key] = base_t
             f_t = base_t.select(
@@ -793,7 +900,11 @@ class SearchEngine:
                 & F.col("bucket").isin(sorted(set(buckets.values())))
                 & F.col("term").isin(terms)
             )
-            decoded = self._decode(blocks, want_positions=False)
+            decoded = self._decode(
+                blocks,
+                want_positions=False,
+                n_docs_hint=sum(term_dfs[t] for t in terms),
+            )
             if len(terms) <= 64:
                 # small neighborhoods: per-term idf as a codegen CASE chain
                 # — no extra DataFrame, no broadcast exchange
@@ -908,6 +1019,55 @@ class SearchEngine:
             pass
         return 1 << 62
 
+    def _cand_upper_estimate(self, query: dict) -> int | None:
+        """Upper bound on the candidate (matching-doc) count of a query, from
+        dictionary metadata only — None when no sound bound is cheap (fuzzy/
+        regex before expansion, range). Drives the response-path carry gate:
+        the carry-through join's cost scales with the CANDIDATE count, not
+        the doc-store size, so a hot term (df ≈ corpus) must take the
+        point-lookup branch even on a small store."""
+        kind = query["kind"]
+        opts = query.get("options", {})
+        try:
+            if kind == "term":
+                return self._df_of(opts["field"], opts["term"])
+            if kind == "phrase":
+                dfm = self._df_of_many(opts["field"], opts["phrase_terms"])
+                return min(dfm.values()) if dfm else 0
+            if kind == "boost":
+                return self._cand_upper_estimate(opts["query"])
+            if kind == "all":
+                return self._n_docs_estimate
+            if kind == "boolean":
+                subs = opts.get("subqueries", [])
+                musts = [
+                    self._cand_upper_estimate(s["query"])
+                    for s in subs
+                    if s["occurrence"] == "must"
+                ]
+                musts = [m for m in musts if m is not None]
+                if musts:
+                    return min(musts)  # must_nots only shrink the set
+                shoulds = [
+                    self._cand_upper_estimate(s["query"])
+                    for s in subs
+                    if s["occurrence"] == "should"
+                ]
+                if shoulds and all(s is not None for s in shoulds):
+                    return sum(shoulds)
+                return None
+            if kind == "query_string":
+                ast = parse_query_string(
+                    opts["query"],
+                    opts["default_search_fields"],
+                    self.analyzers,
+                    self.field_analyzers,
+                )
+                return self._cand_upper_estimate(ast)
+        except Exception:
+            return None
+        return None
+
     def _boolean_scores(self, subqueries: list[dict]) -> DataFrame:
         musts, shoulds, must_nots = [], [], []
         for i, sq in enumerate(subqueries):
@@ -996,7 +1156,8 @@ class SearchEngine:
             scores = scores.persist()
         try:
             return self._collect_response(
-                scores, want_count, want_docs, sort, fields, hits, offset
+                scores, want_count, want_docs, sort, fields, hits, offset,
+                cand_estimate=self._cand_upper_estimate(query),
             )
         finally:
             if persisted:
@@ -1019,9 +1180,19 @@ class SearchEngine:
     # joins THE SORT COLUMN pre-top-k above the gate (ordering needs it),
     # but url/warc_ts move to the point-lookup.
     CARRY_JOIN_DOCS_MAX = 2_000_000
+    # Candidate-count bound above which carry-through is abandoned even on a
+    # small store: the join's shuffled volume is O(candidates), so a hot
+    # term (df ≈ corpus) pays ~1 s riding 1M rows through the join while
+    # the point-lookup branch costs one fixed ~0.1 s job + ≤k row-group
+    # reads regardless of df (measured at the 960k-doc bench corpus:
+    # carry 1.95 s vs point-lookup 0.9 s end-to-end for df = 960k).
+    # Unknown estimates (fuzzy/regex/range) keep the carry branch — the
+    # status quo measured faster for typical expansions at bench scale.
+    CARRY_JOIN_CANDIDATES_MAX = 131_072
 
     def _collect_response(
-        self, scores, want_count, want_docs, sort, fields, hits, offset
+        self, scores, want_count, want_docs, sort, fields, hits, offset,
+        cand_estimate: int | None = None,
     ) -> SearchResponse:
         total = -1
         if want_count:
@@ -1070,7 +1241,11 @@ class SearchEngine:
             # joins pre-top-k — url/warc_ts resolve via the existing ≤k
             # point-lookup so no O(corpus) docs scan rides every query.
             small_store = self._n_docs_estimate <= self.CARRY_JOIN_DOCS_MAX
-            if small_store:
+            small_cand = (
+                cand_estimate is None
+                or cand_estimate <= self.CARRY_JOIN_CANDIDATES_MAX
+            )
+            if small_store and small_cand:
                 carry_through = carry
             else:
                 carry_through = (

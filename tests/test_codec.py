@@ -111,3 +111,91 @@ class TestBlock:
         db, tb, _ = encode_block(d, t)
         assert len(db) <= 130  # first abs value + 127 one-byte deltas
         assert len(tb) == 128
+
+
+class TestBatchedDecode:
+    """varint_decode_many / delta_decode_segments — the whole-Arrow-batch
+    decode kernels the engine's fast path rides (engine.py _decode)."""
+
+    @staticmethod
+    def _concat(streams):
+        import numpy as _np
+
+        from bayard_spark.build.codec import varint_encode
+
+        bufs = [varint_encode(_np.asarray(s, dtype=_np.uint64)) for s in streams]
+        offs = _np.zeros(len(bufs) + 1, dtype=_np.int64)
+        offs[1:] = _np.cumsum([len(b) for b in bufs])
+        return b"".join(bufs), offs
+
+    def test_matches_per_stream_decode(self):
+        from bayard_spark.build.codec import varint_decode_many
+
+        rng = np.random.default_rng(7)
+        streams = [
+            rng.integers(0, 2**bits, size=int(n)).astype(np.uint64)
+            for bits, n in [(7, 128), (14, 100), (32, 64), (62, 9), (7, 0)]
+        ]
+        buf, offs = self._concat(streams)
+        vals, voffs = varint_decode_many(buf, offs)
+        assert voffs.tolist() == np.cumsum(
+            [0] + [len(s) for s in streams]
+        ).tolist()
+        for k, s in enumerate(streams):
+            assert np.array_equal(vals[voffs[k] : voffs[k + 1]], s)
+
+    def test_all_single_byte_fast_path(self):
+        from bayard_spark.build.codec import varint_decode_many
+
+        streams = [[1, 5, 127], [], [0, 0, 3]]
+        buf, offs = self._concat(streams)
+        vals, voffs = varint_decode_many(buf, offs)
+        assert vals.tolist() == [1, 5, 127, 0, 0, 3]
+        assert voffs.tolist() == [0, 3, 3, 6]
+
+    def test_empty_buffer(self):
+        from bayard_spark.build.codec import varint_decode_many
+
+        vals, voffs = varint_decode_many(b"", np.zeros(4, dtype=np.int64))
+        assert vals.size == 0 and voffs.tolist() == [0, 0, 0, 0]
+
+    def test_segmented_delta_matches_blockwise(self):
+        from bayard_spark.build.codec import (
+            delta_decode_segments,
+            varint_decode_many,
+        )
+
+        rng = np.random.default_rng(11)
+        blocks = []
+        base = 0
+        for _ in range(40):
+            n = int(rng.integers(1, 129))
+            ids = base + np.cumsum(rng.integers(1, 1000, size=n)).astype(
+                np.uint64
+            )
+            base = int(ids[-1]) + int(rng.integers(1, 10_000))
+            blocks.append(ids)
+        buf, offs = self._concat([delta_encode(b) for b in blocks])
+        deltas, voffs = varint_decode_many(buf, offs)
+        got = delta_decode_segments(deltas, voffs)
+        want = np.concatenate(
+            [delta_decode(delta_encode(b)) for b in blocks]
+        )
+        assert np.array_equal(got, want)
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.lists(
+            st.lists(
+                st.integers(min_value=0, max_value=2**63 - 1), max_size=60
+            ),
+            max_size=12,
+        )
+    )
+    def test_property_concat_roundtrip(self, streams):
+        from bayard_spark.build.codec import varint_decode_many
+
+        buf, offs = self._concat(streams)
+        vals, voffs = varint_decode_many(buf, offs)
+        for k, s in enumerate(streams):
+            assert vals[voffs[k] : voffs[k + 1]].tolist() == s

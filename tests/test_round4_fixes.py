@@ -238,9 +238,9 @@ def test_phrase_semi_gate_opens_only_on_skew(built, monkeypatch):
     seen = []
     real = engine._decode
 
-    def spy(blocks, want_positions, candidate_ids=None):
+    def spy(blocks, want_positions, candidate_ids=None, **kwargs):
         seen.append(candidate_ids is not None)
-        return real(blocks, want_positions, candidate_ids)
+        return real(blocks, want_positions, candidate_ids, **kwargs)
 
     monkeypatch.setattr(engine, "_decode", spy)
     engine._leaf_cache.clear()
