@@ -15,11 +15,17 @@ variable code widths and interlace).
 WAV/PCM AUDIO decode is real as well (decode_wav: RIFF chunk walk,
 int 8/16/24/32-bit and IEEE-float samples via numpy views;
 audio_features derives rms/peak/zero-crossings/spectrum from actual
-samples). Arithmetic-coded JPEG, WebP (VP8), compressed audio (mp3/ogg/flac)
-and video remain stubbed behind clearly-marked hooks
-(`MediaDecodeUnavailable`) because those codecs genuinely need external
-libraries (Pillow/torchaudio/pyav) that do not ship in this
-environment — batch shapes don't change when swapped in.
+samples). VIDEO is real for the two containers decodable without codec libraries
+(round 6): AVI/MJPEG — every frame is a complete JPEG, parsed by
+functions/video.py and decoded by functions/jpeg.py — and animated GIF
+(decode_gif_frames: full compositing semantics — per-frame disposal
+methods, transparency, delays). video_metadata / sample_video_frames /
+video_frame_features ride those; frame sampling prunes BEFORE entropy
+decode. Arithmetic-coded JPEG, lossy WebP (VP8), compressed audio
+(mp3/ogg/flac) and inter-frame video codecs (H.264/VP9/AV1) remain
+behind clearly-marked hooks (`MediaDecodeUnavailable`) because they
+genuinely need external libraries (Pillow/torchaudio/pyav) that do not
+ship in this environment — batch shapes don't change when swapped in.
 
 Design rules for 100 TB of media:
 - media bytes travel ONCE: metadata extraction and feature extraction happen
@@ -300,12 +306,22 @@ def decode_bmp_pixels(data: bytes) -> np.ndarray:
     return np.ascontiguousarray(px)
 
 
-def decode_gif_pixels(data: bytes) -> np.ndarray:
-    """REAL dep-free GIF pixel decode (GIF87a/89a, first image): LZW
-    decompression with variable code width and dictionary resets, local/
-    global palette, interlace deinterleave. Returns RGB uint8
-    (height, width, 3) for the first frame; later frames need
-    compositing semantics and stay out of scope."""
+def decode_gif_frames(
+    data: bytes, max_frames: int | None = None
+) -> tuple[list[np.ndarray], list[int]]:
+    """REAL dep-free GIF decode, ALL frames (GIF87a/89a): LZW with variable
+    code width and dictionary resets, local/global palettes, interlace
+    deinterleave, and — round 6 — full ANIMATION compositing semantics:
+
+    - Graphic Control Extension (0xF9): per-frame delay, transparency
+      index (transparent pixels leave the canvas untouched), disposal
+      method 0/1 (leave), 2 (restore rect to background), 3 (restore rect
+      to the pre-frame canvas).
+    - Each emitted frame is the full logical-screen composite, RGB uint8
+      (screen_h, screen_w, 3), matching what a viewer shows at that step.
+
+    Returns (frames, delays_cs); max_frames bounds the LZW work — frames
+    past the bound are never decompressed (prune-before-decode)."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise MediaDecodeUnavailable("not a GIF container")
     sw = int.from_bytes(data[6:8], "little")
@@ -320,10 +336,27 @@ def decode_gif_pixels(data: bytes) -> np.ndarray:
             data, dtype=np.uint8, count=size * 3, offset=pos
         ).reshape(-1, 3)
         pos += size * 3
+    # background color index is defined against the GLOBAL color table
+    # (GIF89a spec §18), NOT a frame's local palette; black when absent
+    if gct is not None and bg_index < len(gct):
+        bg_rgb = gct[bg_index]
+    else:
+        bg_rgb = np.zeros(3, dtype=np.uint8)
+    canvas = np.empty((sh, sw, 3), dtype=np.uint8)
+    canvas[:, :] = bg_rgb
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    disposal, transp_idx, delay = 0, None, 0
     while pos < len(data):
         b = data[pos]
         if b == 0x21:  # extension: label + sub-blocks
+            label = data[pos + 1] if pos + 1 < len(data) else 0
             pos += 2
+            if label == 0xF9 and pos < len(data) and data[pos] >= 4:
+                gflags = data[pos + 1]
+                delay = int.from_bytes(data[pos + 2 : pos + 4], "little")
+                transp_idx = data[pos + 4] if gflags & 0x01 else None
+                disposal = (gflags >> 2) & 0x07
             while pos < len(data) and data[pos] != 0:
                 pos += 1 + data[pos]
             pos += 1
@@ -354,6 +387,7 @@ def decode_gif_pixels(data: bytes) -> np.ndarray:
                 n = data[pos]
                 lzw += data[pos + 1:pos + 1 + n]
                 pos += 1 + n
+            pos += 1  # block terminator
             idx = _lzw_decode(bytes(lzw), min_code, iw * ih)
             grid = np.zeros((ih, iw), dtype=np.int64)
             flat = np.asarray(idx[: iw * ih], dtype=np.int64)
@@ -368,27 +402,82 @@ def decode_gif_pixels(data: bytes) -> np.ndarray:
                 grid[order] = rows
             else:
                 grid = rows
-            if grid.size and grid.max() >= len(pal):
+            opaque = (
+                grid != transp_idx if transp_idx is not None
+                else np.ones_like(grid, dtype=bool)
+            )
+            if grid.size and opaque.any() and grid[opaque].max() >= len(pal):
                 raise MediaDecodeUnavailable(
                     "GIF pixel index beyond palette"
                 )
-            # background color index is defined against the GLOBAL color
-            # table (GIF89a spec §18), NOT the frame's local palette;
-            # fall back to black when there is no GCT or the index is
-            # out of range
-            if gct is not None and bg_index < len(gct):
-                bg_rgb = gct[bg_index]
+            region = canvas[iy:iy + ih, ix:ix + iw]
+            saved = region.copy() if disposal == 3 else None
+            if transp_idx is None:
+                region[:] = pal[np.minimum(grid, len(pal) - 1)]
             else:
-                bg_rgb = np.zeros(3, dtype=np.uint8)
-            out = np.empty((sh, sw, 3), dtype=np.uint8)
-            out[:, :] = bg_rgb
-            out[iy:iy + ih, ix:ix + iw] = pal[grid]
-            return out
+                rgb = pal[np.minimum(grid, len(pal) - 1)]
+                region[opaque] = rgb[opaque]
+            frames.append(canvas.copy())
+            delays.append(delay)
+            if disposal == 2:
+                canvas[iy:iy + ih, ix:ix + iw] = bg_rgb
+            elif disposal == 3 and saved is not None:
+                canvas[iy:iy + ih, ix:ix + iw] = saved
+            disposal, transp_idx, delay = 0, None, 0
+            if max_frames is not None and len(frames) >= max_frames:
+                return frames, delays
         elif b == 0x3B:  # trailer
             break
         else:
             pos += 1
-    raise MediaDecodeUnavailable("GIF contains no image data")
+    if not frames:
+        raise MediaDecodeUnavailable("GIF contains no image data")
+    return frames, delays
+
+
+def decode_gif_pixels(data: bytes) -> np.ndarray:
+    """First composited frame of decode_gif_frames — kept as the
+    single-image entry point decode_image_pixels dispatches to."""
+    return decode_gif_frames(data, max_frames=1)[0][0]
+
+
+def gif_frame_info(data: bytes) -> tuple[int, list[int]]:
+    """(n_frames, per-frame delays in centiseconds) from the GIF block
+    STRUCTURE alone — sub-block walk, zero LZW decompression, so the
+    metadata pass never pays entropy-decode cost (travel-once rule)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise MediaDecodeUnavailable("not a GIF container")
+    pos = 13
+    if data[10] & 0x80:
+        pos += (2 << (data[10] & 0x07)) * 3
+    n, delays, delay = 0, [], 0
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:
+            label = data[pos + 1] if pos + 1 < len(data) else 0
+            pos += 2
+            if label == 0xF9 and pos < len(data) and data[pos] >= 4:
+                delay = int.from_bytes(data[pos + 2 : pos + 4], "little")
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:
+            iflags = data[pos + 9]
+            pos += 10
+            if iflags & 0x80:
+                pos += (2 << (iflags & 0x07)) * 3
+            pos += 1  # LZW min code size
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            n += 1
+            delays.append(delay)
+            delay = 0
+        elif b == 0x3B:
+            break
+        else:
+            pos += 1
+    return n, delays
 
 
 def _lzw_decode(buf: bytes, min_code: int, limit: int) -> list[int]:
@@ -690,6 +779,49 @@ def audio_features(
     return df.select(id_col, bytes_col).mapInPandas(run, AUDIO_FEATURE_SCHEMA)
 
 
+def _container_frames(b: bytes, every_n: int, max_frames: int):
+    """Sampled (frame_no, frame_bytes) for ONE asset — REAL for the
+    containers we can parse, stub chunking otherwise.
+
+    - RIFF/AVI with an MJPEG video stream: frames are the actual '##dc'
+      JPEG chunks (functions/video.py); extraction is byte slicing, so
+      skipped frames cost nothing and the JPEG entropy decode only ever
+      happens downstream on sampled frames.
+    - Animated GIF: raises typed — GIF frames are palette deltas over a
+      shared canvas, so standalone decodable 'frame_bytes' don't exist;
+      GIF goes through video_frame_features directly (pixels, not bytes).
+    - Anything else: the documented stub (fixed 1 KiB chunks) keeps the
+      plumbing shape testable; a real H.264/VP9 path needs pyav.
+    """
+    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        from bayard_spark.functions.video import parse_avi
+
+        meta = parse_avi(b)
+        taken = 0
+        for fno, start, size in meta["frames"][::every_n]:
+            if taken >= max_frames:
+                break
+            yield fno, b[start : start + size]
+            taken += 1
+        return
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        # GIF frames are palette deltas over a shared canvas — there is no
+        # standalone byte range a consumer could decode, so emitting
+        # chunks would be silent garbage; pixels go through
+        # video_frame_features instead
+        raise MediaDecodeUnavailable(
+            "GIF frames are not byte-addressable; use "
+            "video_frame_features for sampled GIF frame pixels"
+        )
+    n_frames = max(len(b) // 1024, 0)
+    taken = 0
+    for fno in range(0, n_frames, every_n):
+        if taken >= max_frames:
+            break
+        yield fno, b[fno * 1024 : (fno + 1) * 1024]
+        taken += 1
+
+
 def sample_video_frames(
     df: DataFrame,
     bytes_col: str = "media",
@@ -697,29 +829,131 @@ def sample_video_frames(
     every_n: int = 10,
     max_frames: int = 8,
 ) -> DataFrame:
-    """Frame sampling plumbing: emits (asset_id, frame_no, frame_bytes).
+    """Frame sampling: emits (asset_id, frame_no, frame_bytes).
 
-    STUB decoder treats the binary as fixed-size 1 KiB 'frames'; a real
-    implementation seeks keyframes via pyav. Sampling predicate applies
-    before 'decode' so skipped frames cost nothing.
-    """
+    REAL for AVI/MJPEG containers (each emitted frame_bytes is a complete
+    decodable JPEG — see functions/video.py); fixed-1 KiB stub chunks for
+    unrecognized bytes (the pre-round-6 plumbing shape, kept so mixed
+    columns don't fail row-wise). Sampling applies before decode so
+    skipped frames cost nothing."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, nos, frames = [], [], []
             for aid, b in zip(pdf[id_col], pdf[bytes_col]):
-                b = b or b""
-                n_frames = max(len(b) // 1024, 0)
-                taken = 0
-                for fno in range(0, n_frames, every_n):
-                    if taken >= max_frames:
-                        break
+                for fno, fb in _container_frames(
+                    b or b"", every_n, max_frames
+                ):
                     ids.append(aid)
                     nos.append(fno)
-                    frames.append(b[fno * 1024 : (fno + 1) * 1024])
-                    taken += 1
+                    frames.append(fb)
             yield pd.DataFrame(
                 {"asset_id": ids, "frame_no": nos, "frame_bytes": frames}
             )
 
     return df.select(id_col, bytes_col).mapInPandas(run, FRAME_SCHEMA)
+
+
+VIDEO_META_SCHEMA = (
+    "asset_id long, n_bytes int, container string, codec string, "
+    "width int, height int, fps double, n_frames int"
+)
+
+
+def video_metadata(
+    df: DataFrame, bytes_col: str = "media", id_col: str = "asset_id"
+) -> DataFrame:
+    """One mapInPandas pass over the binary column → typed video metadata
+    from REAL container parsing (AVI main/stream headers; animated GIF
+    logical screen + frame count). Unrecognized containers raise
+    MediaDecodeUnavailable — gate upstream on a sniff for mixed columns."""
+    from bayard_spark.functions.video import parse_avi
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "asset_id", "n_bytes", "container", "codec",
+                "width", "height", "fps", "n_frames",
+            )}
+            for aid, b in zip(pdf[id_col], pdf[bytes_col]):
+                b = b or b""
+                if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                    m = parse_avi(b)
+                    vals = ("avi", m["codec"], m["width"], m["height"],
+                            m["fps"], m["n_frames"])
+                elif b[:6] in (b"GIF87a", b"GIF89a"):
+                    nf, delays = gif_frame_info(b)
+                    total_cs = sum(delays)
+                    fps = nf * 100.0 / total_cs if total_cs else 0.0
+                    vals = ("gif", "GIF-LZW",
+                            int.from_bytes(b[6:8], "little"),
+                            int.from_bytes(b[8:10], "little"),
+                            fps, nf)
+                else:
+                    raise MediaDecodeUnavailable(
+                        "no dep-free video metadata parser for this "
+                        "container (AVI and animated GIF supported)"
+                    )
+                for k, v in zip(
+                    ("container", "codec", "width", "height",
+                     "fps", "n_frames"), vals,
+                ):
+                    out[k].append(v)
+                out["asset_id"].append(aid)
+                out["n_bytes"].append(len(b))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, bytes_col).mapInPandas(run, VIDEO_META_SCHEMA)
+
+
+VIDEO_FEATURE_SCHEMA = "asset_id long, frame_no int, feature array<float>"
+
+
+def video_frame_features(
+    df: DataFrame,
+    bytes_col: str = "media",
+    id_col: str = "asset_id",
+    every_n: int = 10,
+    max_frames: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Sampled-frame feature vectors from REAL decoded pixels, one
+    mapInPandas pass: AVI/MJPEG frames through the from-spec JPEG decoder,
+    animated-GIF frames through the LZW compositor — then the same
+    deterministic pixel features as image_features(real_decode=True).
+    Sampling prunes BEFORE entropy decode: unsampled AVI frames are never
+    Huffman-decoded, unsampled trailing GIF frames never LZW-decoded."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, feats = [], [], []
+            for aid, b in zip(pdf[id_col], pdf[bytes_col]):
+                b = b or b""
+                if b[:6] in (b"GIF87a", b"GIF89a"):
+                    # GIF frames composite cumulatively, so decode the
+                    # prefix up to the last sampled index once
+                    frames, _ = decode_gif_frames(
+                        b, max_frames=(max_frames - 1) * every_n + 1
+                    )
+                    pix = [
+                        (fno, frames[fno])
+                        for fno in range(0, len(frames), every_n)
+                    ][:max_frames]
+                else:
+                    pix = [
+                        (fno, decode_image_pixels(fb))
+                        for fno, fb in _container_frames(
+                            b, every_n, max_frames
+                        )
+                    ]
+                for fno, px in pix:
+                    ids.append(aid)
+                    nos.append(fno)
+                    feats.append(png_pixel_features(px, dim).tolist())
+            yield pd.DataFrame(
+                {"asset_id": ids, "frame_no": nos, "feature": feats}
+            )
+
+    return df.select(id_col, bytes_col).mapInPandas(
+        run, VIDEO_FEATURE_SCHEMA
+    )
