@@ -712,6 +712,119 @@ def q_lang_stop_ratio(spark, sf_dir):
     )
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition filters via the PRODUCTION operator
+    (functions/textstats.py repetition_stats) — fully deterministic JVM
+    expressions, so the gate runs the real code path, no portable twin."""
+    from bayard_spark.functions.textstats import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark n-gram decontamination via the PRODUCTION operator
+    (functions/dedup.py decontaminate). Benchmark corpus = every 41st doc
+    (deterministic); output covers the remaining docs, zero-hit rows kept."""
+    from bayard_spark.functions.dedup import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 41 == 0)
+    rest = docs.filter(F.col("doc_id") % 41 != 0)
+    return decontaminate(rest, bench).orderBy("doc_id")
+
+
+def q_emb_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup: banded hyperplane-LSH candidates →
+    exact cosine verify (the portable md5 twin of
+    functions/similarity.py embedding_near_dup_pairs — same banded shape,
+    md5 planes so DuckDB replays it bit-for-bit).
+
+    The corpus has no natural near-dups (max pairwise cosine ~0.52), so
+    each vector gets a deterministic perturbed copy (dim0 + 0.05 on the
+    double-cast vector, new id = vec_id + 100000): 500 planted pairs at
+    cosine ~0.9988. One pair deterministically misses both 4-bit bands —
+    kept in the expectation (it IS the LSH recall behavior, identical on
+    both sides)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("vec"),
+    )
+    pert = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("vec", 1) + F.lit(0.05)),
+            F.expr("slice(vec, 2, size(vec) - 1)"),
+        ).alias("vec"),
+    )
+    aug = base.unionByName(pert)
+    flat = aug.select("vec_id", F.posexplode("vec").alias("i", "v"))
+    planes = (
+        spark.range(8)
+        .select(F.col("id").cast("int").alias("bit"))
+        .crossJoin(spark.range(64).select(F.col("id").cast("int").alias("i")))
+        .select(
+            "bit",
+            "i",
+            (
+                (_pmd5(F.concat_ws("_", F.col("bit"), F.col("i"))) % 2) * 2 - 1
+            ).cast("double").alias("sign"),
+        )
+    )
+    proj = (
+        flat.join(F.broadcast(planes), "i")
+        .groupBy("vec_id", "bit")
+        .agg(F.sum(F.col("v") * F.col("sign")).alias("p"))
+    )
+    sig = proj.groupBy("vec_id").agg(
+        F.sum(
+            F.when(
+                F.col("p") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("sig")
+    )
+    bands = sig.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                F.col("sig").bitwiseAND(F.lit(15)),
+                F.shiftrightunsigned("sig", 4).bitwiseAND(F.lit(15)),
+            )
+        ).alias("band", "key"),
+    )
+    a = bands.select(F.col("vec_id").alias("id_a"), "band", "key")
+    b = bands.select(F.col("vec_id").alias("id_b"), "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = aug.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("va"))
+    vb = aug.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(F.col(c), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    cos = dot / (nrm("va") * nrm("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cos.alias("_cos"))
+        .filter(F.col("_cos") >= 0.99)
+        .select("id_a", "id_b", F.round("_cos", 6).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 def q_ann_cosine(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     flat = emb.select(
@@ -831,8 +944,13 @@ def _shingles_df(spark, sf_dir, k: int = 3):
     toks = F.filter(
         F.split(F.lower(F.col("text")), r"[^\p{L}\p{N}]+"), lambda t: t != ""
     )
+    # Empty-safe: sequence(1, 0) is DESCENDING in Spark, so short docs
+    # must filter to [] instead of reaching slice(start=0).
     sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - k + 1, F.lit(0))),
+        F.filter(
+            F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1))),
+            lambda i: i <= F.size(toks) - (k - 1),
+        ),
         lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
     )
     return docs.select(
@@ -1053,6 +1171,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "lang_stop_ratio": q_lang_stop_ratio,
         "unigram_logprob": q_unigram_logprob,
+        "repetition": q_repetition,
+        "decontaminate": q_decontaminate,
+        "emb_near_dup": q_emb_near_dup,
         "ann_cosine": q_ann_cosine,
         "events_daily": q_events_daily,
         "tpch_revenue": q_tpch_revenue,
@@ -1549,6 +1670,136 @@ FROM common
 JOIN sizes na ON na.id = id_a
 JOIN sizes nb ON nb.id = id_b
 WHERE inter * 1.0 / (na.n + nb.n - inter) >= 0.12
+ORDER BY id_a, id_b
+"""
+
+    sqls["repetition"] = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+tot AS (
+  SELECT doc_id,
+         CAST(coalesce(list_sum(list_transform(toks, x -> len(x))), 0)
+              AS BIGINT) AS total_chars
+  FROM t
+),
+g AS (
+  SELECT doc_id, 2 AS n, array_to_string(toks[i:i+1], ' ') AS gram
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) q
+  UNION ALL
+  SELECT doc_id, 3 AS n, array_to_string(toks[i:i+2], ' ') AS gram
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i) q
+  UNION ALL
+  SELECT doc_id, 5 AS n, array_to_string(toks[i:i+4], ' ') AS gram
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 4)) AS i) q
+),
+c AS (
+  SELECT doc_id, n, gram, count(*) AS c, len(gram) - (n - 1) AS w
+  FROM g GROUP BY doc_id, n, gram
+),
+p AS (
+  SELECT doc_id,
+         max(CASE WHEN n = 2 THEN c * w END) AS top2,
+         max(CASE WHEN n = 3 THEN c * w END) AS top3,
+         sum(CASE WHEN n = 5 AND c >= 2 THEN c * w END) AS dup5
+  FROM c GROUP BY doc_id
+)
+SELECT tot.doc_id AS doc_id, total_chars,
+       round(CASE WHEN total_chars > 0
+                  THEN coalesce(top2, 0) * 1.0 / total_chars
+                  ELSE 0.0 END, 6) AS top2gram_frac,
+       round(CASE WHEN total_chars > 0
+                  THEN coalesce(top3, 0) * 1.0 / total_chars
+                  ELSE 0.0 END, 6) AS top3gram_frac,
+       round(CASE WHEN total_chars > 0
+                  THEN coalesce(dup5, 0) * 1.0 / total_chars
+                  ELSE 0.0 END, 6) AS dup5gram_frac
+FROM tot LEFT JOIN p ON p.doc_id = tot.doc_id
+ORDER BY doc_id
+"""
+
+    sqls["decontaminate"] = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS gram
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i) q
+),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 41 = 0),
+hits AS (
+  SELECT g.doc_id, count(*) AS n_hits
+  FROM g JOIN bench USING (gram)
+  WHERE g.doc_id % 41 <> 0
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id AS doc_id,
+       CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(CASE WHEN coalesce(n_hits, 0) > 0 THEN 1 ELSE 0 END
+            AS INTEGER) AS contaminated
+FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id
+WHERE d.doc_id % 41 <> 0
+ORDER BY doc_id
+"""
+
+    near_dup_plane = pmd5.format(x="bit || '_' || i")
+    near_dup_sig = " + ".join(
+        f"(CASE WHEN max(CASE WHEN bit = {b} THEN p END) > 0 "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(8)
+    )
+    sqls["emb_near_dup"] = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
+  FROM embeddings
+),
+aug AS (
+  SELECT vec_id, vec FROM base
+  UNION ALL
+  SELECT vec_id + 100000, list_prepend(vec[1] + 0.05, vec[2:]) FROM base
+),
+flat AS (
+  SELECT vec_id, i - 1 AS i, vec[i] AS v
+  FROM aug, LATERAL (SELECT unnest(generate_series(1, len(vec))) AS i) g
+),
+planes AS (
+  SELECT b.bit, d.i, (({near_dup_plane}) % 2) * 2 - 1 AS sign
+  FROM (SELECT unnest(generate_series(0, 7)) AS bit) b
+  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) d
+),
+proj AS (
+  SELECT vec_id, bit, sum(v * sign) AS p
+  FROM flat JOIN planes ON flat.i = planes.i
+  GROUP BY vec_id, bit
+),
+sig AS (SELECT vec_id, {near_dup_sig} AS sig FROM proj GROUP BY vec_id),
+bands AS (
+  SELECT vec_id, 0 AS band, sig & 15 AS key FROM sig
+  UNION ALL
+  SELECT vec_id, 1 AS band, (sig >> 4) & 15 AS key FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+),
+dt AS (
+  SELECT c.id_a, c.id_b, sum(fa.v * fb.v) AS d
+  FROM cand c
+  JOIN flat fa ON fa.vec_id = c.id_a
+  JOIN flat fb ON fb.vec_id = c.id_b AND fb.i = fa.i
+  GROUP BY c.id_a, c.id_b
+),
+nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS n FROM flat GROUP BY vec_id)
+SELECT id_a, id_b, round(d / (na.n * nb.n), 6) AS cosine
+FROM dt JOIN nrm na ON na.vec_id = id_a JOIN nrm nb ON nb.vec_id = id_b
+WHERE d / (na.n * nb.n) >= 0.99
 ORDER BY id_a, id_b
 """
 

@@ -67,13 +67,71 @@ def shingles(
         F.split(F.lower(F.col(text_col)), r"[^\p{L}\p{N}]+"),
         lambda t: t != "",
     )
+    # NB: sequence(1, 0) in Spark is the DESCENDING [1, 0] — a doc with
+    # fewer than k tokens must yield [], not a slice(start=0) crash, so the
+    # index list is built by filtering an always-ascending sequence.
     sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - k + 1, F.lit(0))),
+        F.filter(
+            F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1))),
+            lambda i: i <= F.size(toks) - (k - 1),
+        ),
         lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
     )
     return (
         df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
         .distinct()
+    )
+
+
+DECON_BROADCAST_MAX = 5_000_000  # distinct benchmark grams
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_gram_count: int | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: per doc, the number of DISTINCT word
+    n-grams it shares with a benchmark/eval corpus (the standard
+    train-set-contamination check before pretraining).
+
+    Returns (doc_id, n_hits, contaminated[0/1]) for EVERY input doc —
+    zero-hit docs are kept so the result can drive a filter join.
+
+    Scale shape: both sides reduce to DISTINCT n-gram sets (shingles());
+    the join runs on the gram string. Benchmark corpora are small relative
+    to the training corpus, so the gram set is broadcast — but only below
+    DECON_BROADCAST_MAX distinct grams (same discipline as the unigram
+    vocab gate): pass `bench_gram_count` if known, else one count() job
+    measures it; above the gate it falls back to a plain shuffle join.
+    """
+    doc_sh = shingles(df, id_col=id_col, text_col=text_col, k=n)
+    bench_sh = (
+        shingles(benchmark, id_col=bench_id_col, text_col=bench_text_col, k=n)
+        .select("shingle")
+        .distinct()
+    )
+    cnt = bench_gram_count if bench_gram_count is not None else bench_sh.count()
+    right = F.broadcast(bench_sh) if cnt <= DECON_BROADCAST_MAX else bench_sh
+    hits = (
+        doc_sh.join(right, "shingle")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_hits"))
+        .withColumnRenamed("id", "doc_id")
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
     )
 
 

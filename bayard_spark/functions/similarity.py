@@ -158,23 +158,56 @@ def lsh_signatures(
 
 def embedding_near_dup_pairs(
     emb: DataFrame,
-    n_bits: int = 16,
+    n_bits: int = 64,
+    n_bands: int = 4,
     min_cosine: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Near-duplicate vectors: LSH bucket equality → exact cosine verify."""
+    """Near-duplicate vectors: banded-LSH candidates → exact cosine verify.
+
+    Requiring the WHOLE signature to match (one band) has poor recall near
+    the threshold: at cos c each hyperplane bit flips with p = acos(c)/π
+    (~0.10 at c=0.95), so a 16-bit full-signature join keeps only ~18% of
+    true 0.95-pairs. Banding ORs the buckets: with 4 bands of 16 bits a
+    0.99-pair survives with ~0.93 probability, a 0.999-pair with ~0.999.
+    Raise n_bands (or lower the per-band width) for higher recall at the
+    standard LSH cost of more candidate pairs.
+
+    Scale shape: the band join moves only slim (band, key, id) rows — the
+    wide embedding column joins back ONLY for verified candidate ids.
+    16-bit band keys keep random collisions at ~n_bands/65536 of the
+    all-pairs square (the same 16-bit-block discipline as
+    simhash_near_pairs); true near-dups collide by construction.
+    """
+    if n_bits % n_bands != 0:
+        raise ValueError("n_bits must be divisible by n_bands")
+    bw = n_bits // n_bands
     sigs = lsh_signatures(emb, n_bits, id_col=id_col, vec_col=vec_col)
-    with_sig = emb.join(sigs, emb[id_col] == sigs["vec_id"]).select(
-        sigs["vec_id"], F.col(vec_col), "sig"
+    bands = sigs.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sig"), b * bw).bitwiseAND(
+                        F.lit((1 << bw) - 1)
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "key"),
     )
-    a = with_sig.select(
-        F.col("vec_id").alias("id_a"), F.col(vec_col).alias("va"), "sig"
+    a = bands.select(F.col("vec_id").alias("id_a"), "band", "key")
+    b = bands.select(F.col("vec_id").alias("id_b"), "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    b = with_sig.select(
-        F.col("vec_id").alias("id_b"), F.col(vec_col).alias("vb"), "sig"
-    )
-    pairs = a.join(b, "sig").filter(F.col("id_a") < F.col("id_b"))
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = cand.join(va, "id_a").join(vb, "id_b")
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -184,7 +217,6 @@ def embedding_near_dup_pairs(
     return (
         pairs.select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= min_cosine)
-        .distinct()
     )
 
 

@@ -199,6 +199,89 @@ def unigram_logprob(
     return docs.join(per_doc, "doc_id", "left").select("doc_id", "logprob")
 
 
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, appendix A1):
+    per doc, the fraction of characters covered by the most frequent word
+    {2,3}-gram and by duplicated (count >= 2) word 5-grams.
+
+    Semantics (mirrored exactly by the driver oracle):
+      tokens      = non-empty splits of lower(text) on [^\\p{L}\\p{N}]+
+      total_chars = sum of token lengths (joiners excluded)
+      char weight of an n-gram = its token chars = length(gram) - (n-1)
+      topNgram_frac = max over grams of count*weight / total_chars
+      dup5gram_frac = sum over grams with count>=2 of count*weight
+                      / total_chars  (overlapping occurrences multi-count,
+                      so heavy repetition can exceed 1.0 — by design, same
+                      as the published filter's raw signal)
+    Docs with total_chars = 0 emit 0.0 for every fraction.
+
+    Scale shape: ONE explode of the (2,3,5)-gram union -> ONE
+    (doc_id, n, gram) groupBy (map-side partial agg; key cardinality is
+    bounded by doc length, never corpus vocabulary) -> ONE per-doc groupBy.
+    The char weight rides the gram string itself, so nothing re-touches the
+    document text after the explode. All JVM expressions — no Python.
+    """
+    toks = _tokens_col(text_col)
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+    total = F.aggregate(
+        F.transform("toks", lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    # NULL text -> NULL tokens -> NULL aggregate; report 0 chars like ""
+    tot = base.select(
+        "doc_id", F.coalesce(total, F.lit(0).cast("long")).alias("total_chars")
+    )
+
+    def grams(n: int):
+        # Empty-safe ascending indices (sequence(1, 0) is DESCENDING).
+        idx = F.filter(
+            F.sequence(F.lit(1), F.greatest(F.size("toks"), F.lit(1))),
+            lambda i: i <= F.size("toks") - (n - 1),
+        )
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                F.lit(n).alias("n"),
+                F.concat_ws(" ", F.slice("toks", i, n)).alias("gram"),
+            ),
+        )
+
+    exploded = base.select(
+        "doc_id", F.explode(F.concat(grams(2), grams(3), grams(5))).alias("g")
+    ).select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    counted = exploded.groupBy("doc_id", "n", "gram").agg(
+        F.count("*").alias("c")
+    )
+    w = (F.length("gram") - (F.col("n") - 1)).cast("long")
+    per_doc = counted.groupBy("doc_id").agg(
+        F.max(F.when(F.col("n") == 2, F.col("c") * w)).alias("top2"),
+        F.max(F.when(F.col("n") == 3, F.col("c") * w)).alias("top3"),
+        F.sum(
+            F.when((F.col("n") == 5) & (F.col("c") >= 2), F.col("c") * w)
+        ).alias("dup5"),
+    )
+
+    def frac(col: str):
+        return F.round(
+            F.when(
+                F.col("total_chars") > 0,
+                F.coalesce(F.col(col), F.lit(0)) / F.col("total_chars"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        )
+
+    return tot.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "total_chars",
+        frac("top2").alias("top2gram_frac"),
+        frac("top3").alias("top3gram_frac"),
+        frac("dup5").alias("dup5gram_frac"),
+    )
+
+
 def token_counts(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -223,8 +306,14 @@ def fingerprint(
     """Winnowing-style fingerprint: md5 over the `keep` smallest k-shingle
     hashes — stable under small edits, unlike a whole-text hash."""
     toks = _tokens_col(text_col)
+    # Empty-safe index list: sequence(1, 0) is DESCENDING [1, 0] in Spark,
+    # so a doc with fewer than k tokens must be filtered to [], never
+    # reach slice(start=0).
     sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - k + 1, F.lit(0))),
+        F.filter(
+            F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1))),
+            lambda i: i <= F.size(toks) - (k - 1),
+        ),
         lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k))),
     )
     kept = F.slice(F.array_sort(sh), 1, keep)

@@ -417,3 +417,108 @@ def test_ivf_physical_layout_prunes_partitions(spark, emb, tmp_path):
     assert "PartitionFilters" in plan
     pf = plan.split("PartitionFilters", 1)[1][:300]
     assert "centroid" in pf and "IN" in pf.upper(), pf
+
+
+class TestRepetitionDecontaminate:
+    """Gopher-style repetition stats + benchmark decontamination + the
+    short-doc regression (sequence(1,0) is DESCENDING in Spark: docs with
+    fewer than k tokens used to crash shingles/fingerprint on
+    slice(start=0))."""
+
+    def test_repetition_hand_computed(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "aa bb aa bb cc"),
+                (2, "x y x y x y x y x y"),
+                (3, ""),
+                (4, "one two"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in textstats.repetition_stats(df).collect()
+        }
+        # doc1: total 10; top 2-gram "aa bb" x2 * 4 chars = 8 -> 0.8;
+        # 3-grams all unique, 6 chars -> 0.6; no dup 5-grams.
+        assert out[1]["total_chars"] == 10
+        assert out[1]["top2gram_frac"] == pytest.approx(0.8)
+        assert out[1]["top3gram_frac"] == pytest.approx(0.6)
+        assert out[1]["dup5gram_frac"] == 0.0
+        # doc2: pathological repetition — overlapping occurrences
+        # multi-count, so top3 ("x y x" x4 * 3) / 10 = 1.2 and dup5
+        # ((3+3) * 5) / 10 = 3.0 exceed 1.0 by design.
+        assert out[2]["top2gram_frac"] == pytest.approx(1.0)
+        assert out[2]["top3gram_frac"] == pytest.approx(1.2)
+        assert out[2]["dup5gram_frac"] == pytest.approx(3.0)
+        # empty doc: all zeros, no crash
+        assert out[3]["total_chars"] == 0
+        assert out[3]["top2gram_frac"] == 0.0
+        # 2-token doc: its single 2-gram covers every char; no 3/5-grams
+        assert out[4]["top2gram_frac"] == pytest.approx(1.0)
+        assert out[4]["top3gram_frac"] == 0.0
+        assert out[4]["dup5gram_frac"] == 0.0
+
+    def test_decontaminate_hand_computed(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b c d"), (2, "q w e")], "doc_id long, text string"
+        )
+        bench = spark.createDataFrame(
+            [(100, "b c d x")], "doc_id long, text string"
+        )
+        out = {
+            r["doc_id"]: (r["n_hits"], r["contaminated"])
+            for r in dedup.decontaminate(docs, bench).collect()
+        }
+        # doc1 shares the 3-gram "b c d" with the benchmark; doc2 nothing
+        assert out == {1: (1, 1), 2: (0, 0)}
+        # broadcast-gate branch identity: force the shuffle-join branch
+        out2 = {
+            r["doc_id"]: (r["n_hits"], r["contaminated"])
+            for r in dedup.decontaminate(
+                docs, bench, bench_gram_count=10**12
+            ).collect()
+        }
+        assert out2 == out
+
+    def test_short_doc_regression(self, spark):
+        df = spark.createDataFrame(
+            [(0, "a b"), (1, ""), (2, "x"), (3, "p q r s t")],
+            "doc_id long, text string",
+        )
+        # shingles: only doc3 has >= 3 tokens
+        sh = dedup.shingles(df, k=3).collect()
+        assert {r["id"] for r in sh} == {3}
+        # fingerprint: short docs fingerprint the empty shingle set, no crash
+        fps = textstats.fingerprint(df).collect()
+        assert len(fps) == 4
+        # repetition: 1-token doc has no 2-grams at all
+        rep = {r["doc_id"]: r for r in textstats.repetition_stats(df).collect()}
+        assert rep[2]["top2gram_frac"] == 0.0 and rep[2]["total_chars"] == 1
+
+    def test_banded_near_dup_recall(self, spark):
+        rng = np.random.default_rng(11)
+        base = rng.normal(size=(20, 32))
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        noisy = base + rng.normal(scale=0.005, size=base.shape)
+        rows = [
+            (int(i), [float(x) for x in base[i]], 0) for i in range(20)
+        ] + [
+            (int(i + 1000), [float(x) for x in noisy[i]], 0)
+            for i in range(20)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        pairs = similarity.embedding_near_dup_pairs(
+            df, min_cosine=0.99
+        ).collect()
+        found = {(r["id_a"], r["id_b"]) for r in pairs}
+        planted = {(i, i + 1000) for i in range(20)}
+        # banding (4 x 16-bit over 64 bits) keeps nearly all ~0.9999-cosine
+        # pairs; everything found must be a planted pair (cross cosines
+        # are far below the threshold on random gaussians)
+        assert found <= planted
+        assert len(found) >= 18
+        for r in pairs:
+            assert r["cosine"] >= 0.99
