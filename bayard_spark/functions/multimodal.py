@@ -12,17 +12,24 @@ numpy IDCT → chroma upsample → YCbCr→RGB, with spectral-selection +
 successive-approximation scan accumulation for progressive), plus BMP
 (uncompressed 24/32-bit + palette) and GIF first-frame (real LZW with
 variable code widths and interlace).
-WAV/PCM AUDIO decode is real as well (decode_wav: RIFF chunk walk,
-int 8/16/24/32-bit and IEEE-float samples via numpy views;
+AUDIO decode is real for WAV/PCM (decode_wav: RIFF chunk walk,
+int 8/16/24/32-bit and IEEE-float samples via numpy views) and — round
+6 — FLAC (functions/flac.py: full lossless decode, no spec tables
+needed because FLAC streams carry their own coding parameters);
 audio_features derives rms/peak/zero-crossings/spectrum from actual
-samples). VIDEO is real for the two containers decodable without codec libraries
+samples of either. mp3 gets REAL frame-HEADER metadata
+(mp3_metadata: version/layer/bitrate/rate from the public ISO tables,
+Xing/VBRI frame counts, duration estimate; audio_metadata is the
+header-only pass that never touches sample bytes), while mp3 SAMPLE
+decode stays gated — Layer III needs the spec's 34 Huffman tables.
+VIDEO is real for the two containers decodable without codec libraries
 (round 6): AVI/MJPEG — every frame is a complete JPEG, parsed by
 functions/video.py and decoded by functions/jpeg.py — and animated GIF
 (decode_gif_frames: full compositing semantics — per-frame disposal
 methods, transparency, delays). video_metadata / sample_video_frames /
 video_frame_features ride those; frame sampling prunes BEFORE entropy
-decode. Arithmetic-coded JPEG, lossy WebP (VP8), compressed audio
-(mp3/ogg/flac) and inter-frame video codecs (H.264/VP9/AV1) remain
+decode. Arithmetic-coded JPEG, lossy WebP (VP8), mp3/ogg sample
+decode and inter-frame video codecs (H.264/VP9/AV1) remain
 behind clearly-marked hooks (`MediaDecodeUnavailable`) because they
 genuinely need external libraries (Pillow/torchaudio/pyav) that do not
 ship in this environment — batch shapes don't change when swapped in.
@@ -710,6 +717,224 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     return samples[: frames * channels].reshape(frames, channels), int(rate)
 
 
+def wav_info(data: bytes) -> tuple[int, int, int, int, int]:
+    """Header-only WAV parse → (rate, channels, bits, n_frames, byterate).
+    The metadata pass must not touch sample bytes (gif_frame_info rule)."""
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise MediaDecodeUnavailable("not a RIFF/WAVE container")
+    pos, n = 12, len(data)
+    fmt, dlen = None, None
+    while pos + 8 <= n:
+        cid = data[pos : pos + 4]
+        (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if cid == b"fmt ":
+            chunk = data[pos + 8 : pos + 8 + clen]
+            if len(chunk) < 16:
+                raise MediaDecodeUnavailable("WAV fmt chunk truncated")
+            fmt = struct.unpack("<HHIIHH", chunk[:16])
+        elif cid == b"data":
+            dlen = min(clen, n - pos - 8)  # truncated data: actual bytes
+        pos += 8 + clen + (clen & 1)
+    if fmt is None or dlen is None:
+        raise MediaDecodeUnavailable("WAV missing fmt/data chunk")
+    _, channels, rate, byterate, _, bits = fmt
+    if channels < 1 or bits < 1:
+        raise MediaDecodeUnavailable("WAV invalid fmt header")
+    n_frames = dlen // (channels * max(bits // 8, 1))
+    return int(rate), int(channels), int(bits), int(n_frames), int(byterate)
+
+
+# MPEG audio frame-header tables (public, ISO/IEC 11172-3 / 13818-3).
+_MP3_BITRATE = {
+    (1, 1): [32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    (1, 2): [32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    (1, 3): [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    (2, 1): [32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+    (2, 2): [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    (2, 3): [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+}
+_MP3_RATES = {"1": [44100, 48000, 32000], "2": [22050, 24000, 16000],
+              "2.5": [11025, 12000, 8000]}
+
+
+def _mp3_header(hdr: int):
+    """Validate + decode a 32-bit MPEG audio frame header. Returns None for
+    a non-frame bit pattern (caller resyncs), raises for free-format."""
+    if (hdr >> 21) & 0x7FF != 0x7FF:
+        return None
+    vbits = (hdr >> 19) & 3
+    version = {0: "2.5", 2: "2", 3: "1"}.get(vbits)
+    layer = {1: 3, 2: 2, 3: 1}.get((hdr >> 17) & 3)
+    br_idx = (hdr >> 12) & 15
+    sr_idx = (hdr >> 10) & 3
+    # br_idx 0 is free-format: frame length is undeterminable from the
+    # header, so it can never be CONFIRMED by the consecutive-sync rule —
+    # treat as non-frame and let the caller's typed no-sync error surface.
+    if version is None or layer is None or br_idx in (0, 15) or sr_idx == 3:
+        return None
+    vgroup = 1 if version == "1" else 2
+    bitrate = _MP3_BITRATE[(vgroup, layer)][br_idx - 1]
+    rate = _MP3_RATES[version][sr_idx]
+    padding = (hdr >> 9) & 1
+    channels = 1 if (hdr >> 6) & 3 == 3 else 2
+    if layer == 1:
+        spf = 384
+        flen = (12 * bitrate * 1000 // rate + padding) * 4
+    else:
+        spf = 1152 if (layer == 2 or version == "1") else 576
+        flen = (spf // 8) * bitrate * 1000 // rate + padding
+    return version, layer, bitrate, rate, channels, spf, flen
+
+
+def mp3_metadata(data: bytes) -> dict:
+    """mp3 FRAME-HEADER metadata (version/layer/rate/channels/bitrate,
+    Xing/Info VBR frame count, duration estimate) — real header parsing
+    from the public ISO tables. Full mp3 sample decode stays honestly
+    gated (MediaDecodeUnavailable): Layer III needs the spec's 34 Huffman
+    code tables, which this container cannot carry in from the spec."""
+    import struct
+
+    pos = 0
+    if data[:3] == b"ID3" and len(data) >= 10:
+        size = 0
+        for b in data[6:10]:  # syncsafe
+            size = (size << 7) | (b & 0x7F)
+        pos = 10 + size
+    end = len(data)
+    if end >= 128 and data[-128:-125] == b"TAG":
+        end -= 128  # ID3v1 trailer
+    found = None
+    scan = pos
+    while scan + 4 <= end:
+        hdr = struct.unpack(">I", data[scan : scan + 4])[0]
+        h = _mp3_header(hdr)
+        if h is not None:
+            flen = h[6]
+            nxt = scan + flen
+            # require a consecutive frame (or exact EOF) to reject false syncs
+            if nxt == end or (
+                nxt + 4 <= end
+                and _mp3_header(struct.unpack(">I", data[nxt : nxt + 4])[0])
+                is not None
+            ):
+                found = (scan, h)
+                break
+        scan += 1
+    if found is None:
+        raise MediaDecodeUnavailable("no MPEG audio frame sync found")
+    start, (version, layer, bitrate, rate, channels, spf, flen) = found
+
+    n_frames = None
+    vbr = False
+    if layer == 3:
+        side = (17 if channels == 1 else 32) if version == "1" else (
+            9 if channels == 1 else 17
+        )
+        tag_at = start + 4 + side
+        tag = data[tag_at : tag_at + 4]
+        if tag in (b"Xing", b"Info"):
+            vbr = tag == b"Xing"
+            (flags,) = struct.unpack(">I", data[tag_at + 4 : tag_at + 8])
+            if flags & 1:
+                (n_frames,) = struct.unpack(
+                    ">I", data[tag_at + 8 : tag_at + 12]
+                )
+        elif data[start + 4 + 32 : start + 4 + 36] == b"VBRI":
+            vbr = True
+            (n_frames,) = struct.unpack(
+                ">I", data[start + 4 + 32 + 14 : start + 4 + 32 + 18]
+            )
+    if n_frames is not None:
+        duration = n_frames * spf / rate
+    else:
+        n_frames = max((end - start) // flen, 1)
+        duration = (end - start) * 8 / (bitrate * 1000)
+    return {
+        "container": "mp3",
+        "version": version,
+        "layer": layer,
+        "sample_rate": rate,
+        "n_channels": channels,
+        "bitrate_kbps": bitrate,
+        "vbr": vbr,
+        "n_frames": int(n_frames),
+        "samples_per_frame": spf,
+        "duration_s": float(duration),
+    }
+
+
+def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
+    """Sniff-and-decode audio bytes: RIFF/WAVE → decode_wav, fLaC →
+    decode_flac (REAL lossless decode, functions/flac.py). mp3/ogg raise
+    MediaDecodeUnavailable — their sample decode genuinely needs spec
+    tables / codec libraries this container can't carry."""
+    if data[:4] == b"RIFF":
+        return decode_wav(data)
+    if data[:4] == b"fLaC":
+        from bayard_spark.functions.flac import decode_flac
+
+        return decode_flac(data)
+    raise MediaDecodeUnavailable(
+        "unsupported audio container (WAV and FLAC decode are available; "
+        "mp3/ogg need codec tables/libraries)"
+    )
+
+
+AUDIO_META_SCHEMA = (
+    "asset_id long, container string, sample_rate int, n_channels int, "
+    "bits int, n_samples long, duration_s double, bitrate_kbps int, "
+    "vbr boolean"
+)
+
+
+def audio_metadata(
+    df: DataFrame, bytes_col: str = "media", id_col: str = "asset_id"
+) -> DataFrame:
+    """Metadata-ONLY audio pass: WAV fmt/data headers, FLAC STREAMINFO,
+    mp3 frame headers (+Xing/VBRI) — NO sample decode anywhere, so the
+    cost per asset is a few header bytes even for hour-long files (the
+    gif_frame_info discipline applied to audio)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from bayard_spark.functions.flac import flac_stream_info
+
+        for pdf in batches:
+            rows = []
+            for aid, b in zip(pdf[id_col], pdf[bytes_col]):
+                b = b or b""
+                if b[:4] == b"RIFF":
+                    rate, ch, bits, n_frames, byterate = wav_info(b)
+                    rows.append(
+                        (aid, "wav", rate, ch, bits, n_frames,
+                         n_frames / rate if rate else 0.0,
+                         byterate * 8 // 1000, False)
+                    )
+                elif b[:4] == b"fLaC":
+                    rate, ch, bits, total, _ = flac_stream_info(b)
+                    rows.append(
+                        (aid, "flac", rate, ch, bits, total,
+                         total / rate if rate else 0.0, None, None)
+                    )
+                else:
+                    m = mp3_metadata(b)  # raises typed if not mp3 either
+                    rows.append(
+                        (aid, "mp3", m["sample_rate"], m["n_channels"],
+                         None, m["n_frames"] * m["samples_per_frame"],
+                         m["duration_s"], m["bitrate_kbps"], m["vbr"])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "container", "sample_rate", "n_channels",
+                    "bits", "n_samples", "duration_s", "bitrate_kbps", "vbr",
+                ],
+            )
+
+    return df.select(id_col, bytes_col).mapInPandas(run, AUDIO_META_SCHEMA)
+
+
 def wav_audio_features(
     samples: np.ndarray, rate: int, dim: int = 64
 ) -> np.ndarray:
@@ -749,16 +974,18 @@ def audio_features(
     dim: int = 64,
 ) -> DataFrame:
     """One mapInPandas pass over the binary column → typed audio metadata
-    + fixed-size feature vector from REAL decoded WAV/PCM samples (the
-    same travel-once rule as image_metadata: bytes are read in a single
-    pass). Non-WAV/compressed bytes raise MediaDecodeUnavailable — gate
-    upstream on a container sniff if the column is mixed-format."""
+    + fixed-size feature vector from REAL decoded samples — WAV/PCM or
+    FLAC (functions/flac.py), sniffed by magic (the same travel-once rule
+    as image_metadata: bytes are read in a single pass). mp3/ogg/unknown
+    bytes raise MediaDecodeUnavailable — gate upstream on a container
+    sniff (or use audio_metadata, which reads mp3 headers) if the column
+    is mixed-format."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, rates, chans, counts, durs, feats = [], [], [], [], [], []
             for aid, b in zip(pdf[id_col], pdf[bytes_col]):
-                samples, rate = decode_wav(b or b"")
+                samples, rate = decode_audio(b or b"")
                 ids.append(aid)
                 rates.append(rate)
                 chans.append(samples.shape[1])
