@@ -865,6 +865,71 @@ def mp3_metadata(data: bytes) -> dict:
     }
 
 
+def ogg_metadata(data: bytes) -> dict:
+    """Ogg container metadata via a REAL page walk (RFC 3533): BOS page →
+    Vorbis/Opus identification header (channels, rate), last page granule
+    position → duration. Page payload bytes are SKIPPED by the segment
+    table, so the pass reads ~27 bytes per page even for hour-long files.
+    Sample decode stays gated — Vorbis/Opus need full codebook machinery."""
+    import struct
+
+    if data[:4] != b"OggS":
+        raise MediaDecodeUnavailable("not an Ogg container")
+    pos, n = 0, len(data)
+    codec = None
+    rate = channels = None
+    bitrate_kbps = None
+    pre_skip = 0
+    last_granule = None
+    while pos + 27 <= n:
+        if data[pos : pos + 4] != b"OggS":
+            raise MediaDecodeUnavailable("Ogg page sync lost")
+        (granule,) = struct.unpack("<q", data[pos + 6 : pos + 14])
+        nseg = data[pos + 26]
+        seg_table = data[pos + 27 : pos + 27 + nseg]
+        if len(seg_table) < nseg:
+            raise MediaDecodeUnavailable("Ogg segment table truncated")
+        paylen = sum(seg_table)
+        payload_at = pos + 27 + nseg
+        if payload_at + paylen > n:
+            raise MediaDecodeUnavailable("Ogg page payload truncated")
+        if codec is None:
+            head = data[payload_at : payload_at + 30]
+            if head[:7] == b"\x01vorbis":
+                codec = "vorbis"
+                channels = head[11]
+                (rate,) = struct.unpack("<I", head[12:16])
+                (nominal,) = struct.unpack("<i", head[20:24])
+                if nominal > 0:
+                    bitrate_kbps = nominal // 1000
+            elif head[:8] == b"OpusHead":
+                codec = "opus"
+                channels = head[9]
+                (pre_skip,) = struct.unpack("<H", head[10:12])
+                (rate,) = struct.unpack("<I", head[12:16])  # input rate
+            else:
+                raise MediaDecodeUnavailable(
+                    "Ogg codec unsupported (vorbis/opus metadata available)"
+                )
+        if granule >= 0:
+            last_granule = granule
+        pos = payload_at + paylen
+    if codec is None or last_granule is None:
+        raise MediaDecodeUnavailable("Ogg stream has no data pages")
+    if codec == "vorbis":
+        duration = last_granule / rate if rate else 0.0
+    else:  # opus granules always tick at 48 kHz
+        duration = max(last_granule - pre_skip, 0) / 48000.0
+    return {
+        "container": "ogg",
+        "codec": codec,
+        "sample_rate": int(rate or 0),
+        "n_channels": int(channels or 0),
+        "bitrate_kbps": bitrate_kbps,
+        "duration_s": float(duration),
+    }
+
+
 def decode_audio(data: bytes) -> tuple[np.ndarray, int]:
     """Sniff-and-decode audio bytes: RIFF/WAVE → decode_wav, fLaC →
     decode_flac (REAL lossless decode, functions/flac.py). mp3/ogg raise
@@ -916,6 +981,13 @@ def audio_metadata(
                     rows.append(
                         (aid, "flac", rate, ch, bits, total,
                          total / rate if rate else 0.0, None, None)
+                    )
+                elif b[:4] == b"OggS":
+                    m = ogg_metadata(b)
+                    rows.append(
+                        (aid, "ogg:" + m["codec"], m["sample_rate"],
+                         m["n_channels"], None, None, m["duration_s"],
+                         m["bitrate_kbps"], None)
                     )
                 else:
                     m = mp3_metadata(b)  # raises typed if not mp3 either

@@ -175,3 +175,75 @@ class TestWavInfoAndDispatch:
         row = audio_features(df).collect()[0]
         assert row["sample_rate"] == 8000 and row["n_samples"] == 2000
         assert len(row["feature"]) == 64
+
+
+class TestOggMetadata:
+    """Independent Ogg page builder (RFC 3533 layout packed by hand)."""
+
+    @staticmethod
+    def _page(payload, granule, bos=False, eos=False, seq=0):
+        import struct as st
+
+        htype = (2 if bos else 0) | (4 if eos else 0)
+        segs = []
+        rest = len(payload)
+        while rest >= 255:
+            segs.append(255)
+            rest -= 255
+        segs.append(rest)
+        hdr = b"OggS" + bytes([0, htype]) + st.pack("<q", granule)
+        hdr += st.pack("<I", 1) + st.pack("<I", seq) + st.pack("<I", 0)
+        hdr += bytes([len(segs)]) + bytes(segs)
+        return hdr + payload
+
+    def _vorbis(self, rate=44100, ch=2, nominal=112000, granule=441000):
+        import struct as st
+
+        ident = (b"\x01vorbis" + st.pack("<I", 0) + bytes([ch])
+                 + st.pack("<I", rate) + st.pack("<i", 0)
+                 + st.pack("<i", nominal) + st.pack("<i", 0)
+                 + b"\xb8\x01")
+        return (self._page(ident, 0, bos=True)
+                + self._page(b"\x00" * 300, granule // 2, seq=1)
+                + self._page(b"\x00" * 300, granule, eos=True, seq=2))
+
+    def test_vorbis(self):
+        from bayard_spark.functions.multimodal import ogg_metadata
+
+        m = ogg_metadata(self._vorbis())
+        assert m["codec"] == "vorbis" and m["sample_rate"] == 44100
+        assert m["n_channels"] == 2 and m["bitrate_kbps"] == 112
+        assert m["duration_s"] == pytest.approx(10.0)
+
+    def test_opus(self):
+        import struct as st
+
+        from bayard_spark.functions.multimodal import ogg_metadata
+
+        ident = (b"OpusHead" + bytes([1, 2]) + st.pack("<H", 312)
+                 + st.pack("<I", 48000) + st.pack("<h", 0) + bytes([0]))
+        data = (self._page(ident, 0, bos=True)
+                + self._page(b"\x00" * 100, 48000 * 3 + 312, eos=True, seq=1))
+        m = ogg_metadata(data)
+        assert m["codec"] == "opus" and m["n_channels"] == 2
+        assert m["duration_s"] == pytest.approx(3.0)
+
+    def test_malformed(self):
+        from bayard_spark.functions.multimodal import ogg_metadata
+
+        with pytest.raises(MediaDecodeUnavailable):
+            ogg_metadata(b"NotOgg" + b"\x00" * 40)
+        with pytest.raises(MediaDecodeUnavailable):
+            ogg_metadata(self._vorbis()[:-100])  # truncated payload
+        theora = self._page(b"\x80theora" + b"\x00" * 20, 0, bos=True)
+        with pytest.raises(MediaDecodeUnavailable):
+            ogg_metadata(theora)
+
+    def test_audio_metadata_ogg_spark(self, spark):
+        df = spark.createDataFrame(
+            [(1, self._vorbis())], "asset_id long, media binary"
+        )
+        row = audio_metadata(df).collect()[0]
+        assert row["container"] == "ogg:vorbis"
+        assert row["duration_s"] == pytest.approx(10.0)
+        assert row["bitrate_kbps"] == 112
