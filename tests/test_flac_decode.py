@@ -161,8 +161,8 @@ def write_subframe(bw: BW, sig, bps: int, kind: str, *, rice_param=3,
         for v in enc[:order]:
             bw.s(int(v), eff)
         res = np.diff(enc, order) if order else enc.copy()
-        write_residual(bw, res, rice_param, porder, order, n,
-                       escape_raw=escape_raw)
+        write_residual(bw, res, rice_param, _clamp_porder(porder, n, order),
+                       order, n, escape_raw=escape_raw)
     elif kind == "lpc":
         coefs = np.asarray(lpc_coefs, dtype=np.int64)
         order = len(coefs)
@@ -179,10 +179,19 @@ def write_subframe(bw: BW, sig, bps: int, kind: str, *, rice_param=3,
         for i in range(order, n):
             pred = int(enc[i - order : i][::-1] @ coefs) >> lpc_shift
             res[i - order] = int(enc[i]) - pred
-        write_residual(bw, res, rice_param, porder, order, n,
-                       escape_raw=escape_raw)
+        write_residual(bw, res, rice_param, _clamp_porder(porder, n, order),
+                       order, n, escape_raw=escape_raw)
     else:
         raise AssertionError(kind)
+
+
+def _clamp_porder(porder: int, block_size: int, order: int) -> int:
+    # mirror real encoders: 2^porder must divide the block and each
+    # partition must hold more samples than the predictor order
+    while porder and (block_size % (1 << porder)
+                      or (block_size >> porder) <= order):
+        porder -= 1
+    return porder
 
 
 def _wasted_flag(bw: BW, wasted: int):
@@ -370,3 +379,55 @@ class TestFlacMalformed:
         for junk in (b"", b"RIFF1234WAVE", b"\xff\xfb\x90\x00" * 30):
             with pytest.raises(MediaDecodeUnavailableFlac):
                 decode_flac(junk)
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+class TestFlacFuzz:
+    """Property-based roundtrips: arbitrary sample shapes, bit depths,
+    block sizes, predictors and partition orders through encoder→decoder."""
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        n=st.integers(64, 900),
+        bps=st.sampled_from([8, 12, 16, 20, 24]),
+        block=st.sampled_from([64, 128, 192, 256]),
+        kind=st.sampled_from(
+            ["fixed0", "fixed1", "fixed2", "fixed3", "fixed4", "verbatim"]
+        ),
+        porder=st.integers(0, 2),
+        param=st.integers(0, 10),
+        seed=st.integers(0, 2**31 - 1),
+        stereo=st.booleans(),
+        mode=st.sampled_from(["indep", "left_side", "right_side", "mid_side"]),
+    )
+    def test_fuzz_roundtrip(self, n, bps, block, kind, porder, param, seed,
+                            stereo, mode):
+        # keep the last block no smaller than the highest fixed order
+        n -= n % 8
+        ch = 2 if stereo else 1
+        if not stereo:
+            mode = "indep"
+        s = _sig(n, bps, seed, ch=ch)
+        _roundtrip(s, 44100, bps, block, kinds=kind, porder=porder,
+                   rice_param=param)
+        if stereo:
+            _roundtrip(s, 44100, bps, block, kinds=kind, porder=porder,
+                       rice_param=param, mode=mode)
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        seed=st.integers(0, 2**31 - 1),
+        order=st.integers(1, 12),
+        shift=st.integers(0, 14),
+    )
+    def test_fuzz_lpc(self, seed, order, shift):
+        rng = np.random.default_rng(seed)
+        coefs = rng.integers(-(1 << 11), 1 << 11, size=order)
+        if not coefs.any():
+            coefs[0] = 1
+        s = _sig(400, 16, seed)
+        _roundtrip(s, 44100, 16, 200, kinds="lpc",
+                   lpc_coefs=coefs.tolist(), lpc_shift=shift, rice_param=8)
