@@ -733,6 +733,82 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate(rest, bench).orderBy("doc_id")
 
 
+# documents.text is single-line word soup — the line/paragraph gates give
+# it deterministic structure shared VERBATIM with their DuckDB twins:
+# 5-word lines, plus (gopher only) a bullet line on doc_id % 5 == 0 and a
+# trailing ellipsis line on doc_id % 7 == 0 so those counters see signal.
+_LINEIFY_RE = r"(\w+ \w+ \w+ \w+ \w+) "
+
+
+def q_gopher(spark, sf_dir):
+    """Gopher/MassiveText line+word rule set via the PRODUCTION operator
+    (functions/textstats.py gopher_rules) over lineified documents."""
+    from bayard_spark.functions.textstats import gopher_rules
+
+    docs = _docs(spark, sf_dir)
+    text = F.concat(
+        F.when(F.col("doc_id") % 5 == 0, F.lit("- bullet list\n")).otherwise(
+            F.lit("")
+        ),
+        F.regexp_replace(F.col("text"), _LINEIFY_RE, "$1\n"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("\nwait for it...")).otherwise(
+            F.lit("")
+        ),
+    )
+    out = gopher_rules(docs.select("doc_id", text.alias("text")))
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_lines",
+        "mean_word_len",
+        "symbol_word_ratio",
+        "bullet_line_ratio",
+        "ellipsis_line_ratio",
+        "alpha_word_ratio",
+        F.col("req_stop_hits").cast("long").alias("req_stop_hits"),
+        "dup_line_frac",
+        "dup_line_char_frac",
+        F.col("gopher_pass").cast("int").alias("gopher_pass"),
+    ).orderBy("doc_id")
+
+
+def q_para_dedup(spark, sf_dir):
+    """Corpus-level duplicate-paragraph removal via the PRODUCTION operator
+    (functions/dedup.py paragraph_dedup): 5-word lines as paragraphs — the
+    tiny synthetic vocabulary makes real cross-doc duplicates."""
+    from bayard_spark.functions.dedup import paragraph_dedup
+
+    docs = _docs(spark, sf_dir)
+    lined = docs.select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), _LINEIFY_RE, "$1\n").alias("text"),
+    )
+    return paragraph_dedup(lined, sep="\n").orderBy("doc_id")
+
+
+def q_pii(spark, sf_dir):
+    """PII redaction via the PRODUCTION operator (functions/textstats.py
+    pii_redact) over documents with deterministically planted contacts."""
+    from bayard_spark.functions.textstats import pii_redact
+
+    docs = _docs(spark, sf_dir)
+    text = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0, F.lit(" write bob@example.com")
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0, F.lit(" from 192.168.1.77")
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0, F.lit(" dial +44 20 7946 0958")
+        ).otherwise(F.lit("")),
+    )
+    return pii_redact(docs.select("doc_id", text.alias("text"))).orderBy(
+        "doc_id"
+    )
+
+
 def q_emb_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup: banded hyperplane-LSH candidates →
     exact cosine verify (the portable md5 twin of
@@ -1173,6 +1249,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": q_unigram_logprob,
         "repetition": q_repetition,
         "decontaminate": q_decontaminate,
+        "gopher": q_gopher,
+        "para_dedup": q_para_dedup,
+        "pii": q_pii,
         "emb_near_dup": q_emb_near_dup,
         "ann_cosine": q_ann_cosine,
         "events_daily": q_events_daily,
@@ -1825,6 +1904,157 @@ proj AS (
   GROUP BY vec_id, bit
 )
 SELECT vec_id, {sig_pack} AS sig FROM proj GROUP BY vec_id ORDER BY vec_id
+"""
+
+    # --- corpus-cleaning trio (round 6): gopher rules / para dedup / pii ---
+    from bayard_spark.functions.textstats import (
+        GOPHER_REQUIRED_WORDS,
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        PII_PHONE_RE,
+    )
+
+    _lineify = (
+        R"regexp_replace(text, '(\w+ \w+ \w+ \w+ \w+) ', '\1' || chr(10), 'g')"
+    )
+    _stop_mask = "\n         | ".join(
+        f"(CASE WHEN list_contains(words, '{w}') THEN {1 << i} ELSE 0 END)"
+        for i, w in enumerate(GOPHER_REQUIRED_WORDS)
+    )
+    sqls["gopher"] = f"""
+WITH d AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 5 = 0 THEN '- bullet list' || chr(10)
+               ELSE '' END)
+         || {_lineify}
+         || (CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'wait for it...'
+                  ELSE '' END) AS text
+  FROM documents
+),
+l AS (
+  SELECT doc_id, line
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM d)
+  WHERE trim(line) <> ''
+),
+pl AS (SELECT doc_id, line, count(*) AS c FROM l GROUP BY doc_id, line),
+px AS (
+  SELECT doc_id, c, line,
+         list_filter(regexp_split_to_array(lower(line), '[^\\p{{L}}\\p{{N}}]+'),
+                     x -> x <> '') AS words
+  FROM pl
+),
+py AS (
+  SELECT doc_id, c,
+         len(words) AS nw,
+         CAST(coalesce(list_sum(list_transform(words, x -> len(x))), 0)
+              AS BIGINT) AS wl,
+         len(list_filter(words, x -> regexp_matches(x, '\\p{{L}}'))) AS alpha,
+         len(regexp_extract_all(line, '#|\\.\\.\\.|…')) AS sym,
+         CASE WHEN regexp_matches(line, '^\\s*[-*•‣▪]') THEN 1 ELSE 0
+              END AS bullet,
+         CASE WHEN regexp_matches(line, '(\\.\\.\\.|…)\\s*$') THEN 1 ELSE 0
+              END AS ellipsis,
+         {_stop_mask} AS stop_mask,
+         CAST(length(line) AS BIGINT) AS lc
+  FROM px
+),
+pd AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_lines,
+         CAST(sum(c * nw) AS BIGINT) AS n_words,
+         CAST(sum(c * wl) AS BIGINT) AS wl_sum,
+         CAST(sum(c * alpha) AS BIGINT) AS alpha_words,
+         CAST(sum(c * sym) AS BIGINT) AS symbols,
+         CAST(sum(c * bullet) AS BIGINT) AS bullet_lines,
+         CAST(sum(c * ellipsis) AS BIGINT) AS ellipsis_lines,
+         bit_or(stop_mask) AS stop_mask,
+         CAST(sum(c - 1) AS BIGINT) AS dup_lines,
+         CAST(sum((c - 1) * lc) AS BIGINT) AS dup_line_chars,
+         CAST(sum(c * lc) AS BIGINT) AS line_chars
+  FROM py GROUP BY doc_id
+),
+fin AS (
+  SELECT dd.doc_id AS doc_id,
+         CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
+         CAST(coalesce(n_lines, 0) AS BIGINT) AS n_lines,
+         round(CASE WHEN n_words > 0
+                    THEN CAST(wl_sum AS DOUBLE) / n_words
+                    ELSE 0.0 END, 6) AS mean_word_len,
+         round(CASE WHEN n_words > 0
+                    THEN CAST(symbols AS DOUBLE) / n_words
+                    ELSE 0.0 END, 6) AS symbol_word_ratio,
+         round(CASE WHEN n_lines > 0
+                    THEN CAST(bullet_lines AS DOUBLE) / n_lines
+                    ELSE 0.0 END, 6) AS bullet_line_ratio,
+         round(CASE WHEN n_lines > 0
+                    THEN CAST(ellipsis_lines AS DOUBLE) / n_lines
+                    ELSE 0.0 END, 6) AS ellipsis_line_ratio,
+         round(CASE WHEN n_words > 0
+                    THEN CAST(alpha_words AS DOUBLE) / n_words
+                    ELSE 0.0 END, 6) AS alpha_word_ratio,
+         CAST(coalesce(bit_count(stop_mask), 0) AS BIGINT) AS req_stop_hits,
+         round(CASE WHEN n_lines > 0
+                    THEN CAST(dup_lines AS DOUBLE) / n_lines
+                    ELSE 0.0 END, 6) AS dup_line_frac,
+         round(CASE WHEN line_chars > 0
+                    THEN CAST(dup_line_chars AS DOUBLE) / line_chars
+                    ELSE 0.0 END, 6) AS dup_line_char_frac
+  FROM documents dd LEFT JOIN pd ON pd.doc_id = dd.doc_id
+)
+SELECT *,
+       CAST(n_words >= 50 AND n_words <= 100000
+            AND mean_word_len >= 3 AND mean_word_len <= 10
+            AND symbol_word_ratio <= 0.1 AND bullet_line_ratio <= 0.9
+            AND ellipsis_line_ratio <= 0.3 AND alpha_word_ratio >= 0.8
+            AND req_stop_hits >= 2 AND dup_line_frac <= 0.3
+            AND dup_line_char_frac <= 0.2 AS INTEGER) AS gopher_pass
+FROM fin ORDER BY doc_id
+"""
+
+    sqls["para_dedup"] = f"""
+WITH d AS (SELECT doc_id, {_lineify} AS text FROM documents),
+s AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM d),
+p AS (
+  SELECT doc_id, i - 1 AS pos, parts[i] AS para
+  FROM s, LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) g
+),
+c AS (SELECT para, count(*) AS cnt FROM p GROUP BY para),
+j AS (SELECT p.doc_id, p.pos, p.para, c.cnt FROM p JOIN c USING (para))
+SELECT doc_id,
+       coalesce(string_agg(para, chr(10) ORDER BY pos)
+                FILTER (WHERE cnt <= 1), '') AS text_clean,
+       CAST(count(*) AS BIGINT) AS n_paras,
+       CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+FROM j GROUP BY doc_id ORDER BY doc_id
+"""
+
+    sqls["pii"] = f"""
+WITH d AS (
+  SELECT doc_id,
+         text
+         || (CASE WHEN doc_id % 7 = 0 THEN ' write bob@example.com'
+                  ELSE '' END)
+         || (CASE WHEN doc_id % 11 = 0 THEN ' from 192.168.1.77'
+                  ELSE '' END)
+         || (CASE WHEN doc_id % 13 = 0 THEN ' dial +44 20 7946 0958'
+                  ELSE '' END) AS text
+  FROM documents
+),
+r1 AS (SELECT doc_id, text,
+              regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g') AS t1
+       FROM d),
+r2 AS (SELECT doc_id, text, t1,
+              regexp_replace(t1, '{PII_IPV4_RE}', '<IP>', 'g') AS t2
+       FROM r1)
+SELECT doc_id,
+       regexp_replace(t2, '{PII_PHONE_RE}', '<PHONE>', 'g') AS text_redacted,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}'))
+            AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(t1, '{PII_IPV4_RE}'))
+            AS INTEGER) AS n_ipv4,
+       CAST(len(regexp_extract_all(t2, '{PII_PHONE_RE}'))
+            AS INTEGER) AS n_phones
+FROM r2 ORDER BY doc_id
 """
 
     return sqls

@@ -135,6 +135,64 @@ def decontaminate(
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+    max_count: int = 1,
+) -> DataFrame:
+    """Corpus-level duplicate-paragraph removal (the CCNet / RefinedWeb
+    line-dedup stage): split every document on `sep`, count each exact
+    paragraph string across the WHOLE corpus, drop paragraphs whose count
+    exceeds `max_count` (default 1 — any paragraph appearing twice
+    anywhere is boilerplate and every copy goes), and reassemble the
+    survivors in original order.
+
+    Returns (doc_id, text_clean, n_paras, n_removed) for EVERY input doc —
+    a doc whose paragraphs were all removed keeps its row with empty text,
+    so the op composes with downstream filters.
+
+    Scale shape: ONE posexplode -> ONE paragraph-string groupBy for the
+    corpus counts (map-side partial agg collapses hot boilerplate before
+    the shuffle) -> ONE join back on the paragraph string -> ONE per-doc
+    groupBy to reassemble. The count side is deliberately a groupBy+join,
+    NOT a window over partitionBy(paragraph): AQE splits a skewed join
+    partition when one boilerplate paragraph appears a billion times, but
+    a window partition cannot be split. Reassembly sorts the (pos, para)
+    structs inside each doc's collected array — per-doc memory, bounded by
+    document size, never corpus size.
+    """
+    paras = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    )
+    counts = paras.groupBy("para").agg(F.count("*").alias("cnt"))
+    tagged = paras.join(counts, "para")
+    return (
+        tagged.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "para", "cnt"))
+            ).alias("ps")
+        )
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    F.filter("ps", lambda x: x["cnt"] <= max_count),
+                    lambda x: x["para"],
+                ),
+                sep,
+            ).alias("text_clean"),
+            F.size("ps").cast("long").alias("n_paras"),
+            F.size(F.filter("ps", lambda x: x["cnt"] > max_count))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
 def minhash_signatures(
     sh: DataFrame, num_hashes: int = 64, seed: int = 42
 ) -> DataFrame:

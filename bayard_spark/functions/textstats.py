@@ -282,6 +282,163 @@ def repetition_stats(
     )
 
 
+# The eight words MassiveText requires at least two of (Rae et al. 2021,
+# appendix A1) — each gets one bit in a per-line presence mask so the
+# per-doc distinct count is a bit_or + bit_count, never a distinct agg.
+GOPHER_REQUIRED_WORDS = ["the", "be", "to", "of", "and", "that", "have",
+                         "with"]
+_BULLET_RE = r"^\s*[-*•‣▪]"
+_ELLIPSIS_RE = r"(\.\.\.|…)\s*$"
+_SYMBOL_RE = r"#|\.\.\.|…"
+
+
+def gopher_rules(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The Gopher/MassiveText document-quality rule set (Rae et al. 2021,
+    appendix A1) minus the n-gram repetition signals, which live in
+    repetition_stats. Per doc:
+
+      n_words / n_lines     words = non-empty splits of lower(text) on
+                            [^\\p{L}\\p{N}]+; lines = non-blank splits on
+                            '\\n' (blank lines never count, so they can't
+                            dominate the duplicate-line stats)
+      mean_word_len         total word chars / n_words
+      symbol_word_ratio     occurrences of '#', '...' or U+2026 / n_words
+      bullet_line_ratio     lines starting with -, *, or a unicode bullet
+      ellipsis_line_ratio   lines ending with '...' or U+2026
+      alpha_word_ratio      words containing at least one letter / n_words
+      req_stop_hits         distinct hits among GOPHER_REQUIRED_WORDS
+      dup_line_frac         sum(count-1) over repeated lines / n_lines
+      dup_line_char_frac    chars in repeats beyond the first / line chars
+      gopher_pass           the published thresholds: 50 <= n_words <=
+                            100000, 3 <= mean_word_len <= 10, symbol ratio
+                            <= 0.1, bullets <= 0.9, ellipsis <= 0.3, alpha
+                            ratio >= 0.8, req_stop_hits >= 2, dup lines
+                            <= 0.3, dup line chars <= 0.2
+
+    Docs with no words (or no non-blank lines) emit zeros and fail.
+
+    Scale shape: ONE explode of the line array -> ONE (doc_id, line)
+    groupBy (map-side partial agg; key cardinality bounded by doc length,
+    and every per-line expression runs once per DISTINCT line) -> ONE
+    per-doc groupBy -> left join back onto the doc ids. All JVM
+    expressions — no Python in the path.
+    """
+    base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+    lines = base.select(
+        "doc_id", F.explode(F.split(F.col(text_col), "\n")).alias("line")
+    ).filter(F.trim("line") != "")
+    per_line = lines.groupBy("doc_id", "line").agg(F.count("*").alias("c"))
+
+    words = F.filter(
+        F.split(F.lower(F.col("line")), TOKEN_SPLIT), lambda t: t != ""
+    )
+    wl_sum = F.aggregate(
+        F.transform(words, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    alpha = F.size(F.filter(words, lambda t: t.rlike(r"\p{L}")))
+    mask = None
+    for i, w in enumerate(GOPHER_REQUIRED_WORDS):
+        bit = F.when(F.array_contains(words, w), F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+        mask = bit if mask is None else mask.bitwiseOR(bit)
+    per_line = per_line.select(
+        "doc_id",
+        "c",
+        F.size(words).alias("nw"),
+        wl_sum.alias("wl"),
+        alpha.alias("alpha"),
+        F.regexp_count("line", F.lit(_SYMBOL_RE)).alias("sym"),
+        F.col("line").rlike(_BULLET_RE).cast("long").alias("bullet"),
+        F.col("line").rlike(_ELLIPSIS_RE).cast("long").alias("ellipsis"),
+        mask.alias("stop_mask"),
+        F.length("line").cast("long").alias("lc"),
+    )
+    per_doc = per_line.groupBy("doc_id").agg(
+        F.sum("c").alias("n_lines"),
+        F.sum(F.col("c") * F.col("nw")).alias("n_words"),
+        F.sum(F.col("c") * F.col("wl")).alias("wl_sum"),
+        F.sum(F.col("c") * F.col("alpha")).alias("alpha_words"),
+        F.sum(F.col("c") * F.col("sym")).alias("symbols"),
+        F.sum(F.col("c") * F.col("bullet")).alias("bullet_lines"),
+        F.sum(F.col("c") * F.col("ellipsis")).alias("ellipsis_lines"),
+        F.bit_or("stop_mask").alias("stop_mask"),
+        F.sum(F.col("c") - 1).alias("dup_lines"),
+        F.sum((F.col("c") - 1) * F.col("lc")).alias("dup_line_chars"),
+        F.sum(F.col("c") * F.col("lc")).alias("line_chars"),
+    )
+
+    def ratio(num, den):
+        return F.round(
+            F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0)), 6
+        )
+
+    nw, nl = F.col("n_words"), F.col("n_lines")
+    out = base.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(nw, F.lit(0)).alias("n_words"),
+        F.coalesce(nl, F.lit(0)).alias("n_lines"),
+        ratio(F.col("wl_sum"), nw).alias("mean_word_len"),
+        ratio(F.col("symbols"), nw).alias("symbol_word_ratio"),
+        ratio(F.col("bullet_lines"), nl).alias("bullet_line_ratio"),
+        ratio(F.col("ellipsis_lines"), nl).alias("ellipsis_line_ratio"),
+        ratio(F.col("alpha_words"), nw).alias("alpha_word_ratio"),
+        F.coalesce(F.bit_count("stop_mask"), F.lit(0)).alias("req_stop_hits"),
+        ratio(F.col("dup_lines"), nl).alias("dup_line_frac"),
+        ratio(F.col("dup_line_chars"), F.col("line_chars")).alias(
+            "dup_line_char_frac"
+        ),
+    )
+    return out.withColumn(
+        "gopher_pass",
+        (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100_000)
+        & (F.col("mean_word_len") >= 3)
+        & (F.col("mean_word_len") <= 10)
+        & (F.col("symbol_word_ratio") <= 0.1)
+        & (F.col("bullet_line_ratio") <= 0.9)
+        & (F.col("ellipsis_line_ratio") <= 0.3)
+        & (F.col("alpha_word_ratio") >= 0.8)
+        & (F.col("req_stop_hits") >= 2)
+        & (F.col("dup_line_frac") <= 0.3)
+        & (F.col("dup_line_char_frac") <= 0.2),
+    )
+
+
+# PII redaction: conservative patterns kept inside the common Java-regex /
+# RE2 subset so the driver oracle replays them verbatim in DuckDB. Counts
+# are taken on the text each pattern actually sees (emails first, then
+# IPv4 on the email-redacted text, then phones) so a digit run inside an
+# already-redacted span is never double-counted.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PII_PHONE_RE = r"\+[0-9][0-9 ()\-]{6,14}[0-9]"
+
+
+def pii_redact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact emails, IPv4 addresses and international-format phone
+    numbers (training corpora must not memorize contact PII); emits the
+    redacted text plus per-kind match counts. Pure regexp_replace /
+    regexp_count chains — JVM codegen, one pass, no shuffle at all."""
+    t0 = F.col(text_col)
+    t1 = F.regexp_replace(t0, PII_EMAIL_RE, "<EMAIL>")
+    t2 = F.regexp_replace(t1, PII_IPV4_RE, "<IP>")
+    t3 = F.regexp_replace(t2, PII_PHONE_RE, "<PHONE>")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        t3.alias("text_redacted"),
+        F.regexp_count(t0, F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(t1, F.lit(PII_IPV4_RE)).alias("n_ipv4"),
+        F.regexp_count(t2, F.lit(PII_PHONE_RE)).alias("n_phones"),
+    )
+
+
 def token_counts(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -522,3 +522,112 @@ class TestRepetitionDecontaminate:
         assert len(found) >= 18
         for r in pairs:
             assert r["cosine"] >= 0.99
+
+
+class TestGopherPiiParaDedup:
+    """Hand-computed expectations for the round-6 corpus-cleaning trio:
+    the Gopher line/word rule set, PII redaction, and corpus-level
+    duplicate-paragraph removal."""
+
+    def test_gopher_rules_hand_computed(self, spark):
+        good = " ".join(
+            ["the quick brown fox jumps over that lazy dog with vigor today"]
+            * 5
+        )
+        messy = (
+            "- item one\n- item two\nhello world...\n"
+            "same line\nsame line\nsame line"
+        )
+        df = spark.createDataFrame(
+            [
+                (1, good),
+                (2, messy),
+                (3, ""),
+                (4, "# # # 12 34"),
+                (5, "the the the be"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in textstats.gopher_rules(df).collect()}
+        g = out[1]
+        assert g["n_words"] == 60 and g["n_lines"] == 1
+        assert g["mean_word_len"] == pytest.approx(50 / 12, abs=1e-6)
+        assert g["alpha_word_ratio"] == 1.0
+        assert g["req_stop_hits"] == 3  # the, that, with
+        assert g["dup_line_frac"] == 0.0
+        assert g["gopher_pass"] is True
+
+        m = out[2]
+        assert m["n_lines"] == 6 and m["n_words"] == 12
+        assert m["bullet_line_ratio"] == pytest.approx(2 / 6, abs=1e-6)
+        assert m["ellipsis_line_ratio"] == pytest.approx(1 / 6, abs=1e-6)
+        # "same line" x3: 2 repeats of 6 lines; 2*9 of 61 line chars
+        assert m["dup_line_frac"] == pytest.approx(2 / 6, abs=1e-6)
+        assert m["dup_line_char_frac"] == pytest.approx(18 / 61, abs=1e-6)
+        assert m["symbol_word_ratio"] == pytest.approx(1 / 12, abs=1e-6)
+        assert m["mean_word_len"] == pytest.approx(4.0)
+        assert m["req_stop_hits"] == 0
+        assert m["gopher_pass"] is False
+
+        z = out[3]  # empty doc keeps its row, all zeros
+        assert z["n_words"] == 0 and z["n_lines"] == 0
+        assert z["gopher_pass"] is False
+
+        s = out[4]  # digits are words but not alphabetic; '#' is a symbol
+        assert s["n_words"] == 2
+        assert s["alpha_word_ratio"] == 0.0
+        assert s["symbol_word_ratio"] == pytest.approx(1.5)
+
+        assert out[5]["req_stop_hits"] == 2  # distinct: the, be
+
+    def test_pii_redact_hand_computed(self, spark):
+        df = spark.createDataFrame(
+            [
+                (
+                    1,
+                    "mail a@b.com or c.d@e-f.org, ip 10.0.0.1 call "
+                    "+1 (555) 123-4567 end",
+                ),
+                (2, "no pii here, just 1.5 numbers and a + sign"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in textstats.pii_redact(df).collect()}
+        r = out[1]
+        assert r["n_emails"] == 2 and r["n_ipv4"] == 1 and r["n_phones"] == 1
+        assert r["text_redacted"] == (
+            "mail <EMAIL> or <EMAIL>, ip <IP> call <PHONE> end"
+        )
+        c = out[2]
+        assert (c["n_emails"], c["n_ipv4"], c["n_phones"]) == (0, 0, 0)
+        assert c["text_redacted"] == "no pii here, just 1.5 numbers and a + sign"
+
+    def test_paragraph_dedup_hand_computed(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "A\n\nB\n\nC"),
+                (2, "B\n\nD"),
+                (3, "B\n\nB"),
+                (4, "D"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in dedup.paragraph_dedup(df).collect()}
+        # corpus counts: A=1 B=4 C=1 D=2 -> B and D removed at max_count=1
+        assert out[1]["text_clean"] == "A\n\nC"
+        assert (out[1]["n_paras"], out[1]["n_removed"]) == (3, 1)
+        assert out[2]["text_clean"] == ""
+        assert (out[2]["n_paras"], out[2]["n_removed"]) == (2, 2)
+        # a doc whose every paragraph is boilerplate keeps its row
+        assert out[3]["text_clean"] == ""
+        assert (out[3]["n_paras"], out[3]["n_removed"]) == (2, 2)
+        assert out[4]["text_clean"] == ""
+
+        # max_count=2: D (count 2) survives, B (count 4) still goes
+        out2 = {
+            r["doc_id"]: r
+            for r in dedup.paragraph_dedup(df, max_count=2).collect()
+        }
+        assert out2[2]["text_clean"] == "D"
+        assert out2[4]["text_clean"] == "D"
+        assert out2[1]["text_clean"] == "A\n\nC"

@@ -566,3 +566,74 @@ def test_dispatch_via_multimodal():
     img = _rand_rgba(rng, 5, 9)
     out = decode_image_pixels(encode_vp8l(img))
     np.testing.assert_array_equal(out, img)
+
+
+# ------------------------------------------------------------ fuzzing
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+class TestVp8lFuzz:
+    """Property-based roundtrips through encoder→decoder: arbitrary
+    shapes, channel diversities, transform chains, palette sizes (all
+    four bundling widths) and LZ77 row copies with/without a cache."""
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        h=st.integers(1, 20),
+        w=st.integers(1, 20),
+        nvals=st.integers(1, 12),
+        seed=st.integers(0, 2**31 - 1),
+        sg=st.booleans(),
+        pred=st.sampled_from([None, 2, 3, 4, 5]),
+    )
+    def test_fuzz_transforms(self, h, w, nvals, seed, sg, pred):
+        rng = np.random.default_rng(seed)
+        img = _rand_rgba(rng, h, w, nvals=nvals)
+        transforms = []
+        if sg:
+            transforms.append(("sg",))
+        if pred is not None:
+            transforms.append(("pred", pred))
+        out = decode_webp_pixels(encode_vp8l(img, transforms=tuple(transforms)))
+        np.testing.assert_array_equal(out, img)
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        n_colors=st.integers(2, 16),
+        h=st.integers(1, 12),
+        w=st.integers(1, 18),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_fuzz_palette_bundling(self, n_colors, h, w, seed):
+        rng = np.random.default_rng(seed)
+        palette = rng.choice(256, size=(n_colors, 4), replace=False).astype(
+            np.uint8
+        )
+        # distinct ARGB words are required for an n_colors palette
+        img = palette[rng.integers(0, n_colors, size=(h, w))]
+        if len({tuple(c) for c in palette}) < n_colors:
+            return
+        out = decode_webp_pixels(encode_vp8l(img, transforms=(("pal",),)))
+        np.testing.assert_array_equal(out, img)
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        h0=st.integers(1, 4),
+        w=st.integers(2, 16),
+        reps=st.integers(2, 4),
+        seed=st.integers(0, 2**31 - 1),
+        cache_bits=st.sampled_from([0, 4, 6]),
+    )
+    def test_fuzz_lz77_row_copies(self, h0, w, reps, seed, cache_bits):
+        rng = np.random.default_rng(seed)
+        block = _rand_rgba(rng, h0, w, nvals=5)
+        img = np.tile(block, (reps, 1, 1))
+        n0 = h0 * w
+        ops = [("lit", i) for i in range(n0)]
+        ops += [("copy", n0, n0)] * (reps - 1)
+        out = decode_webp_pixels(
+            encode_vp8l(img, ops=ops, cache_bits=cache_bits)
+        )
+        np.testing.assert_array_equal(out, img)
