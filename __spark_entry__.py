@@ -809,6 +809,16 @@ def q_pii(spark, sf_dir):
     )
 
 
+def q_span_dedup(spark, sf_dir):
+    """Substring-level exact dedup (Lee et al. 2021) via the PRODUCTION
+    operator (functions/dedup.py span_dedup): the tiny synthetic
+    vocabulary makes real cross-doc duplicated 8-token spans."""
+    from bayard_spark.functions.dedup import span_dedup
+
+    docs = _docs(spark, sf_dir)
+    return span_dedup(docs.select("doc_id", "text"), n=8).orderBy("doc_id")
+
+
 def q_emb_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup: banded hyperplane-LSH candidates →
     exact cosine verify (the portable md5 twin of
@@ -1252,6 +1262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher": q_gopher,
         "para_dedup": q_para_dedup,
         "pii": q_pii,
+        "span_dedup": q_span_dedup,
         "emb_near_dup": q_emb_near_dup,
         "ann_cosine": q_ann_cosine,
         "events_daily": q_events_daily,
@@ -2055,6 +2066,58 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(t2, '{PII_PHONE_RE}'))
             AS INTEGER) AS n_phones
 FROM r2 ORDER BY doc_id
+"""
+
+    _sd_n = 8
+    sqls["span_dedup"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+           AS toks
+  FROM documents
+),
+w AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(toks[i+1:i+{_sd_n}], ' ')) AS h
+  FROM t, LATERAL (SELECT unnest(generate_series(0, len(toks) - {_sd_n}))
+                   AS i) g
+),
+m AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY h) AS cnt,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+  FROM w
+),
+mk AS (SELECT doc_id, pos FROM m WHERE cnt > 1 AND rn > 1),
+tok AS (
+  SELECT doc_id, i - 1 AS ti, toks[i] AS tok
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) g
+),
+rem AS (
+  SELECT DISTINCT tok.doc_id AS doc_id, ti
+  FROM tok JOIN mk ON mk.doc_id = tok.doc_id
+                  AND ti >= mk.pos AND ti < mk.pos + {_sd_n}
+),
+fin AS (
+  SELECT tok.doc_id AS doc_id, tok.ti AS ti, tok,
+         (rem.ti IS NOT NULL) AS removed
+  FROM tok LEFT JOIN rem ON rem.doc_id = tok.doc_id AND rem.ti = tok.ti
+),
+agg AS (
+  SELECT doc_id,
+         coalesce(string_agg(tok, ' ' ORDER BY ti)
+                  FILTER (WHERE NOT removed), '') AS text_clean,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_removed
+  FROM fin GROUP BY doc_id
+)
+SELECT d.doc_id AS doc_id,
+       coalesce(a.text_clean, '') AS text_clean,
+       CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+ORDER BY d.doc_id
 """
 
     return sqls

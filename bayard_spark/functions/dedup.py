@@ -193,6 +193,99 @@ def paragraph_dedup(
     )
 
 
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 50,
+) -> DataFrame:
+    """Substring-level exact dedup (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): remove every
+    corpus-duplicated span of >= `n` whitespace tokens, keeping exactly
+    one copy — the occurrence with the globally smallest (doc_id,
+    position), so the op is deterministic and replayable.
+
+    Semantics: tokens are the non-empty whitespace splits of the text;
+    every length-`n` token window is hashed; a window occurrence is
+    MARKED when the same window appears elsewhere in the corpus and this
+    occurrence is not the (doc_id, pos)-minimal one; a token is removed
+    when ANY marked window covers it (overlapping marked windows merge
+    into maximal removed spans for free). Output text re-joins surviving
+    tokens with single spaces — whitespace is normalized, which is the
+    accepted cost of span surgery. Returns (doc_id, text_clean,
+    n_tokens, n_removed) for EVERY input doc.
+
+    Scale shape: ONE posexplode of per-doc window hashes (rows ~= corpus
+    token count — linear, never pairwise) -> ONE hash groupBy for
+    (count, argmin) with map-side partial agg -> ONE join back on the
+    hash RESTRICTED to duplicated hashes (typically a tiny fraction; a
+    billion-copy boilerplate window is one hot join key, which AQE's
+    skew-join splits) -> ONE per-doc groupBy of marked positions -> ONE
+    join onto the doc frame. Token removal is an array filter against
+    the doc's own marked-position list: per-doc memory, bounded by doc
+    length, never corpus size. All JVM expressions — no Python anywhere.
+
+    The gate twin in __spark_entry__ replays the md5 window hash, the
+    row_number keep-first rule and the coverage filter verbatim in
+    DuckDB, so results are bit-compared.
+    """
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(toks, F.array().cast("array<string>")).alias("toks"),
+    )
+    win = base.where(F.size("toks") >= n).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - n),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice("toks", i + 1, F.lit(n)))
+                ),
+            )
+        ).alias("pos", "h"),
+    )
+    dup = (
+        win.groupBy("h")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min(F.struct("doc_id", "pos")).alias("first"),
+        )
+        .where(F.col("cnt") > 1)
+    )
+    marked = (
+        win.join(dup, "h")
+        .where(
+            ~(
+                (F.col("doc_id") == F.col("first.doc_id"))
+                & (F.col("pos") == F.col("first.pos"))
+            )
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_list("pos").alias("mpos"))
+    )
+    kept = F.filter(
+        F.transform("toks", lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda s: ~F.exists(
+            "mpos", lambda p: (p <= s["i"]) & (s["i"] < p + n)
+        ),
+    )
+    return (
+        base.join(marked, "doc_id", "left")
+        .withColumn(
+            "mpos", F.coalesce("mpos", F.array().cast("array<int>"))
+        )
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform(kept, lambda s: s["t"]), " "
+            ).alias("text_clean"),
+            F.size("toks").cast("long").alias("n_tokens"),
+            (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
+        )
+    )
+
+
 def minhash_signatures(
     sh: DataFrame, num_hashes: int = 64, seed: int = 42
 ) -> DataFrame:

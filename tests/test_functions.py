@@ -631,3 +631,41 @@ class TestGopherPiiParaDedup:
         assert out2[2]["text_clean"] == "D"
         assert out2[4]["text_clean"] == "D"
         assert out2[1]["text_clean"] == "A\n\nC"
+
+    def test_span_dedup_hand_computed(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "a b c d e f"),
+                (2, "x a b c d y"),
+                (3, "p q r s p q r s"),
+                (4, "k   l"),  # short doc: whitespace normalized, kept
+                (5, ""),
+                (6, None),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in dedup.span_dedup(df, n=4).collect()}
+        # 'a b c d' occurs at (1,0) and (2,1): keep-first -> doc 2 loses
+        # tokens 1..4
+        assert out[1]["text_clean"] == "a b c d e f"
+        assert (out[1]["n_tokens"], out[1]["n_removed"]) == (6, 0)
+        assert out[2]["text_clean"] == "x y"
+        assert (out[2]["n_tokens"], out[2]["n_removed"]) == (6, 4)
+        # internal repeat: 'p q r s' at pos 0 and 4 of the SAME doc
+        assert out[3]["text_clean"] == "p q r s"
+        assert (out[3]["n_tokens"], out[3]["n_removed"]) == (8, 4)
+        assert out[4]["text_clean"] == "k l"
+        assert (out[5]["text_clean"], out[5]["n_tokens"]) == ("", 0)
+        assert (out[6]["text_clean"], out[6]["n_tokens"]) == ("", 0)
+
+    def test_span_dedup_overlapping_spans_merge(self, spark):
+        # 3 repetitions of a 5-token block, n=5: windows at pos 0,5,10
+        # share a hash (keep pos 0); every other duplicated window (e.g.
+        # pos 1 vs 6) is covered by those marks — maximal span removal.
+        rep = "m n o p q"
+        df = spark.createDataFrame(
+            [(1, " ".join([rep] * 3))], "doc_id long, text string"
+        )
+        out = dedup.span_dedup(df, n=5).collect()[0]
+        assert out["text_clean"] == rep
+        assert (out["n_tokens"], out["n_removed"]) == (15, 10)
