@@ -819,6 +819,84 @@ def q_span_dedup(spark, sf_dir):
     return span_dedup(docs.select("doc_id", "text"), n=8).orderBy("doc_id")
 
 
+# the url gate plants deterministic messy URLs (case, www, default and
+# explicit ports, trailing slash, tracking params, fragment, a malformed
+# row every 17 docs) shared VERBATIM with the DuckDB twin
+_URL_BLOCKLIST = ["example0.co.uk", "example3.com", "example5.org"]
+
+
+def _planted_url():
+    messy = F.concat(
+        F.lit("HTTPS://WWW.Site"),
+        (F.col("doc_id") % 37).cast("string"),
+        F.lit(".Example"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(".CO.UK:443"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(".com:8080"))
+        .otherwise(F.lit(".org")),
+        F.lit("/Path/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=x&b="),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("&a=1"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("&fbclid=zz")).otherwise(
+            F.lit("")
+        ),
+        F.lit("#frag"),
+    )
+    return F.when(F.col("doc_id") % 17 == 0, F.lit("not a url")).otherwise(
+        messy
+    )
+
+
+def q_url_norm(spark, sf_dir):
+    """URL canonicalization + registered-domain blocklist tagging via the
+    PRODUCTION operators (functions/urls.py url_normalize/domain_filter)
+    over deterministically planted messy URLs."""
+    from bayard_spark.functions.urls import domain_filter
+
+    docs = _docs(spark, sf_dir)
+    df = docs.select("doc_id", _planted_url().alias("url"))
+    bl = spark.createDataFrame([(d,) for d in _URL_BLOCKLIST], "domain string")
+    out = domain_filter(df, bl, blocklist_count=len(_URL_BLOCKLIST))
+    return out.select(
+        "doc_id",
+        "url_norm",
+        "host",
+        "registered_domain",
+        F.col("is_blocked").cast("int").alias("is_blocked"),
+    ).orderBy("doc_id")
+
+
+_CLS_BUCKETS = 4096
+
+
+def q_text_classifier(spark, sf_dir):
+    """Hashed linear classifier inference via the PRODUCTION operator
+    (functions/textstats.py linear_text_score) with the md5-portable
+    hash injected and a deterministic synthetic weight table (the model
+    is an input — any offline trainer's weights drop in)."""
+    from bayard_spark.functions.textstats import linear_text_score
+
+    docs = _docs(spark, sf_dir)
+    wts = spark.range(_CLS_BUCKETS).select(
+        F.col("id").alias("bucket"),
+        (
+            ((F.col("id") * 1103515245 + 12345) % 2001 - 1000) / 1000.0
+        ).alias("weight"),
+    )
+    out = linear_text_score(
+        docs,
+        wts,
+        num_buckets=_CLS_BUCKETS,
+        bias=0.1,
+        hash_fn=_pmd5,
+        weights_count=_CLS_BUCKETS,
+    )
+    return out.orderBy("doc_id")
+
+
 def q_emb_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup: banded hyperplane-LSH candidates →
     exact cosine verify (the portable md5 twin of
@@ -1263,6 +1341,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "para_dedup": q_para_dedup,
         "pii": q_pii,
         "span_dedup": q_span_dedup,
+        "url_norm": q_url_norm,
+        "text_classifier": q_text_classifier,
         "emb_near_dup": q_emb_near_dup,
         "ann_cosine": q_ann_cosine,
         "events_daily": q_events_daily,
@@ -2117,6 +2197,125 @@ SELECT d.doc_id AS doc_id,
        CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
        CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed
 FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+    # --- url canonicalization + domain blocklist (round 6) ---
+    from bayard_spark.functions.urls import (
+        _IP_RE,
+        _URL_RE,
+        MULTIPART_SUFFIXES,
+        TRACKING_PARAMS,
+    )
+
+    _multi = ", ".join(f"'{s}'" for s in MULTIPART_SUFFIXES)
+    _track = ", ".join(f"'{t}'" for t in TRACKING_PARAMS)
+    _bl = ", ".join(f"'{d}'" for d in _URL_BLOCKLIST)
+    sqls["url_norm"] = f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 0 THEN 'not a url' ELSE
+           'HTTPS://WWW.Site' || (doc_id % 37)::VARCHAR
+           || '.Example' || (doc_id % 7)::VARCHAR
+           || (CASE doc_id % 3 WHEN 0 THEN '.CO.UK:443'
+                               WHEN 1 THEN '.com:8080'
+                               ELSE '.org' END)
+           || '/Path/' || doc_id::VARCHAR
+           || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+           || '?utm_source=x&b=' || (doc_id % 5)::VARCHAR || '&a=1'
+           || (CASE WHEN doc_id % 4 = 0 THEN '&fbclid=zz' ELSE '' END)
+           || '#frag'
+         END AS url
+  FROM documents
+),
+p AS (
+  SELECT doc_id,
+         lower(regexp_extract(url, '{_URL_RE}', 1)) AS scheme,
+         regexp_replace(lower(regexp_extract(url, '{_URL_RE}', 2)),
+                        '^www\\.', '') AS host,
+         regexp_extract(url, '{_URL_RE}', 3) AS port,
+         regexp_extract(url, '{_URL_RE}', 4) AS path0,
+         regexp_extract(url, '{_URL_RE}', 5) AS query0
+  FROM d
+),
+n AS (
+  SELECT doc_id, scheme, host,
+         (scheme <> '' AND host <> '') AS ok,
+         CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                   OR (scheme = 'https' AND port = '443')
+              THEN '' ELSE ':' || port END AS keep_port,
+         CASE WHEN path0 = '' THEN '/'
+              WHEN length(path0) > 1 AND path0 LIKE '%/'
+              THEN substr(path0, 1, length(path0) - 1)
+              ELSE path0 END AS path,
+         list_sort(list_filter(string_split(query0, '&'),
+           q -> q <> ''
+                AND NOT starts_with(string_split(q, '=')[1], 'utm_')
+                AND string_split(q, '=')[1] NOT IN ({_track})))
+           AS params,
+         string_split(host, '.') AS ls
+  FROM p
+),
+r AS (
+  SELECT doc_id, ok, scheme, host, keep_port, path,
+         CASE WHEN len(params) > 0
+              THEN '?' || array_to_string(params, '&') ELSE '' END AS query,
+         CASE WHEN regexp_matches(host, '{_IP_RE}') THEN host
+              WHEN len(ls) >= 3
+                   AND (ls[-2] || '.' || ls[-1]) IN ({_multi})
+              THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+              WHEN len(ls) >= 2 THEN ls[-2] || '.' || ls[-1]
+              ELSE host END AS reg
+  FROM n
+)
+SELECT doc_id,
+       CASE WHEN ok THEN scheme || '://' || host || keep_port || path
+                         || query END AS url_norm,
+       CASE WHEN ok THEN host END AS host,
+       CASE WHEN ok THEN reg END AS registered_domain,
+       CAST(CASE WHEN ok THEN coalesce(reg IN ({_bl}), false)
+                 ELSE false END AS INTEGER) AS is_blocked
+FROM r ORDER BY doc_id
+"""
+
+    sqls["text_classifier"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+         unnest(list_concat(toks,
+           CASE WHEN len(toks) >= 2
+                THEN list_transform(range(1, len(toks)),
+                                    i -> toks[i] || ' ' || toks[i+1])
+                ELSE []::VARCHAR[] END)) AS feat
+  FROM t
+),
+b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(feat), 1, 15)) AS BIGINT)
+           % {_CLS_BUCKETS} AS bucket
+  FROM f
+),
+c AS (SELECT doc_id, bucket, count(*) AS cnt FROM b GROUP BY doc_id, bucket),
+w AS (
+  SELECT i AS bucket,
+         ((i * 1103515245 + 12345) % 2001 - 1000) / 1000.0 AS weight
+  FROM range({_CLS_BUCKETS}) g(i)
+),
+s AS (
+  SELECT doc_id,
+         CAST(sum(cnt) AS BIGINT) AS n_feats,
+         sum(coalesce(weight, 0.0) * cnt) / sum(cnt) AS mean_w
+  FROM c LEFT JOIN w USING (bucket) GROUP BY doc_id
+)
+SELECT d.doc_id AS doc_id,
+       CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
+       round(1.0 / (1.0 + exp(-(0.1 + s.mean_w))), 6) AS score
+FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
 ORDER BY d.doc_id
 """
 

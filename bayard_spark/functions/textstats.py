@@ -199,6 +199,97 @@ def unigram_logprob(
     return docs.join(per_doc, "doc_id", "left").select("doc_id", "logprob")
 
 
+CLS_WEIGHTS_BROADCAST_MAX = 2_000_000
+
+
+def linear_text_score(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 1 << 20,
+    bias: float = 0.0,
+    bigrams: bool = True,
+    hash_fn=None,
+    weights_count: int | None = None,
+) -> DataFrame:
+    """FastText-style linear classifier INFERENCE at corpus scale — the
+    quality/toxicity/domain scoring stage every modern pretraining
+    pipeline runs over 100% of its documents (CCNet's LM filter's learned
+    cousin). The model is supplied, not trained here: `weights` is a
+    (bucket, weight) table from any offline trainer; features are
+    lowercased word unigrams (+ adjacent bigrams by default) hashed into
+    `num_buckets` via the hashing trick, the doc score is
+    sigmoid(bias + mean feature weight), and unseen buckets weigh 0.
+
+    Returns (doc_id, n_feats, score) for every input doc; docs with no
+    features emit NULL score (0.5 would be an invented prediction —
+    same NULL discipline as unigram_logprob).
+
+    Scale shape: ONE explode of the feature array -> ONE (doc, bucket)
+    groupBy with map-side partial agg -> ONE join against the weights
+    table on bucket — BROADCAST while the model plausibly fits
+    (<= CLS_WEIGHTS_BROADCAST_MAX rows; a hashed linear model is MBs,
+    but the gate mirrors unigram_logprob's discipline), plain shuffle
+    join above — -> ONE per-doc groupBy. All JVM expressions.
+
+    `hash_fn` maps a string Column to a long Column; default xxhash64
+    (JVM-fast). The driver gate injects the md5-derived hash so DuckDB
+    replays bucketing bit-for-bit — same structure, different hash.
+    """
+    if hash_fn is None:
+        hash_fn = F.xxhash64
+    toks = _tokens_col(text_col)
+    feats = toks
+    if bigrams:
+        big = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.slice(toks, 1, F.size(toks) - 1),
+                lambda t, i: F.concat_ws(
+                    " ", t, F.element_at(toks, i + 2)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        feats = F.concat(toks, big)
+    fx = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(feats).alias("feat")
+    ).select("doc_id", F.pmod(hash_fn(F.col("feat")), F.lit(num_buckets)).alias("bucket"))
+    per_bucket = fx.groupBy("doc_id", "bucket").agg(
+        F.count("*").alias("cnt")
+    )
+    w = weights.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("weight").cast("double").alias("weight"),
+    )
+    n_w = weights_count if weights_count is not None else w.count()
+    if n_w <= CLS_WEIGHTS_BROADCAST_MAX:
+        w = F.broadcast(w)
+    per_doc = (
+        per_bucket.join(w, "bucket", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_feats"),
+            (
+                F.sum(F.coalesce(F.col("weight"), F.lit(0.0)) * F.col("cnt"))
+                / F.sum("cnt")
+            ).alias("mean_w"),
+        )
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(float(bias)) + F.col("mean_w"))))
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_feats"), F.lit(0)).cast("long").alias(
+                "n_feats"
+            ),
+            F.round(score, 6).alias("score"),
+        )
+    )
+
+
 def repetition_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -669,3 +669,164 @@ class TestGopherPiiParaDedup:
         out = dedup.span_dedup(df, n=5).collect()[0]
         assert out["text_clean"] == rep
         assert (out["n_tokens"], out["n_removed"]) == (15, 10)
+
+
+class TestUrlOps:
+    """Hand-computed expectations for URL canonicalization and
+    domain-blocklist tagging (functions/urls.py)."""
+
+    def test_url_normalize_hand_computed(self, spark):
+        from bayard_spark.functions import urls
+
+        df = spark.createDataFrame(
+            [
+                (
+                    1,
+                    "HTTPS://User:Pw@WWW.Shop.Example.CO.UK:443/Items/"
+                    "?utm_source=x&b=2&a=1&fbclid=z#top",
+                ),
+                (2, "http://example.com:8080"),
+                (3, "http://EXAMPLE.com:80/a//b/"),
+                (4, "https://192.168.0.1/x?ref=abc"),
+                (5, "not a url"),
+                (6, "ftp://files.example.org/pub/"),
+                (7, "http://localhost/"),
+                (8, "https://sub.domain.github.io/x?&&a=1"),
+            ],
+            "doc_id long, url string",
+        )
+        out = {r["doc_id"]: r for r in urls.url_normalize(df).collect()}
+        r = out[1]
+        assert r["url_norm"] == "https://shop.example.co.uk/Items?a=1&b=2"
+        assert r["host"] == "shop.example.co.uk"
+        assert r["registered_domain"] == "example.co.uk"
+        assert out[2]["url_norm"] == "http://example.com:8080/"
+        assert out[2]["registered_domain"] == "example.com"
+        assert out[3]["url_norm"] == "http://example.com/a//b"
+        assert out[4]["url_norm"] == "https://192.168.0.1/x"
+        assert out[4]["registered_domain"] == "192.168.0.1"
+        assert out[5]["url_norm"] is None
+        assert out[5]["registered_domain"] is None
+        assert out[6]["url_norm"] == "ftp://files.example.org/pub"
+        assert out[6]["registered_domain"] == "example.org"
+        assert out[7]["url_norm"] == "http://localhost/"
+        assert out[7]["registered_domain"] == "localhost"
+        # empty params dropped; github.io not a bundled multi-part suffix
+        assert out[8]["url_norm"] == "https://sub.domain.github.io/x?a=1"
+        assert out[8]["registered_domain"] == "github.io"
+
+    def test_domain_filter_hand_computed(self, spark):
+        from bayard_spark.functions import urls
+
+        df = spark.createDataFrame(
+            [
+                (1, "https://a.shop.example.co.uk/x"),
+                (2, "https://www.clean.org/y"),
+                (3, "http://spam.com/z?gclid=1"),
+                (4, "garbage"),
+            ],
+            "doc_id long, url string",
+        )
+        bl = spark.createDataFrame(
+            [("example.co.uk",), ("spam.com",)], "domain string"
+        )
+        out = {
+            r["doc_id"]: r for r in urls.domain_filter(df, bl).collect()
+        }
+        assert out[1]["is_blocked"] is True
+        assert out[2]["is_blocked"] is False
+        assert out[3]["is_blocked"] is True
+        assert out[4]["is_blocked"] is False  # unparseable -> never blocked
+
+        # identical results through the shuffle-join branch
+        import bayard_spark.functions.urls as u
+
+        old = u.DOMAIN_BLOCKLIST_BROADCAST_MAX
+        try:
+            u.DOMAIN_BLOCKLIST_BROADCAST_MAX = 0
+            out2 = {
+                r["doc_id"]: r
+                for r in urls.domain_filter(df, bl).collect()
+            }
+        finally:
+            u.DOMAIN_BLOCKLIST_BROADCAST_MAX = old
+        assert {k: v["is_blocked"] for k, v in out.items()} == {
+            k: v["is_blocked"] for k, v in out2.items()
+        }
+
+
+class TestLinearTextScore:
+    """Hand-computed fastText-style hashed linear classifier inference."""
+
+    def test_hand_computed_against_numpy(self, spark):
+        import math
+
+        from pyspark.sql import functions as SF
+
+        B = 64
+        df = spark.createDataFrame(
+            [
+                (1, "Good clean text here"),
+                (2, "bad"),
+                (3, ""),
+                (4, None),
+            ],
+            "doc_id long, text string",
+        )
+        wrows = [(b, ((b * 37) % 21 - 10) / 10.0) for b in range(B)]
+        wts = spark.createDataFrame(wrows, "bucket long, weight double")
+        out = {
+            r["doc_id"]: r
+            for r in textstats.linear_text_score(
+                df, wts, num_buckets=B, bias=0.25
+            ).collect()
+        }
+
+        # replicate: xxhash64 via Spark itself (single-row frames), then
+        # the arithmetic in python
+        def buckets(feats):
+            fdf = spark.createDataFrame([(f,) for f in feats], "feat string")
+            return [
+                r["b"]
+                for r in fdf.select(
+                    SF.pmod(SF.xxhash64("feat"), SF.lit(B)).alias("b")
+                ).collect()
+            ]
+
+        wmap = dict(wrows)
+        feats1 = ["good", "clean", "text", "here",
+                  "good clean", "clean text", "text here"]
+        mean1 = sum(wmap[b] for b in buckets(feats1)) / len(feats1)
+        exp1 = 1.0 / (1.0 + math.exp(-(0.25 + mean1)))
+        assert out[1]["n_feats"] == 7
+        assert out[1]["score"] == pytest.approx(round(exp1, 6), abs=2e-6)
+
+        mean2 = wmap[buckets(["bad"])[0]]
+        exp2 = 1.0 / (1.0 + math.exp(-(0.25 + mean2)))
+        assert out[2]["n_feats"] == 1
+        assert out[2]["score"] == pytest.approx(round(exp2, 6), abs=2e-6)
+
+        # empty / NULL text: no invented 0.5 — NULL score, zero feats
+        assert out[3]["n_feats"] == 0 and out[3]["score"] is None
+        assert out[4]["n_feats"] == 0 and out[4]["score"] is None
+
+    def test_unseen_buckets_weigh_zero_and_shuffle_branch(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma")], "doc_id long, text string"
+        )
+        empty_w = spark.createDataFrame([], "bucket long, weight double")
+        out = textstats.linear_text_score(
+            df, empty_w, num_buckets=16, bigrams=False
+        ).collect()[0]
+        assert out["n_feats"] == 3
+        assert out["score"] == pytest.approx(0.5)  # sigmoid(0)
+
+        old = textstats.CLS_WEIGHTS_BROADCAST_MAX
+        try:
+            textstats.CLS_WEIGHTS_BROADCAST_MAX = -1
+            out2 = textstats.linear_text_score(
+                df, empty_w, num_buckets=16, bigrams=False
+            ).collect()[0]
+        finally:
+            textstats.CLS_WEIGHTS_BROADCAST_MAX = old
+        assert out2 == out
