@@ -897,6 +897,31 @@ def q_text_classifier(spark, sf_dir):
     return out.orderBy("doc_id")
 
 
+def q_strat_sample(spark, sf_dir):
+    """Deterministic per-stratum Bernoulli sampling (training-data
+    mixing) via the PRODUCTION operator (functions/sampling.py
+    hash_fraction_sample) with the md5-portable hash injected."""
+    from bayard_spark.functions.sampling import hash_fraction_sample
+
+    docs = _docs(spark, sf_dir)
+    fracs = {f"src{i}": (0.25 if i % 2 == 0 else 0.6) for i in range(20)}
+    out = hash_fraction_sample(
+        docs, "source", fracs, id_col="doc_id", seed=7, hash_fn=_pmd5
+    )
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
+def q_strat_cap(spark, sf_dir):
+    """Exact per-stratum cap (deterministic uniform draw without
+    replacement) via the PRODUCTION operator (functions/sampling.py
+    stratified_cap)."""
+    from bayard_spark.functions.sampling import stratified_cap
+
+    docs = _docs(spark, sf_dir)
+    out = stratified_cap(docs, "source", cap=11, seed=7, hash_fn=_pmd5)
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
 def q_emb_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup: banded hyperplane-LSH candidates →
     exact cosine verify (the portable md5 twin of
@@ -1343,6 +1368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "url_norm": q_url_norm,
         "text_classifier": q_text_classifier,
+        "strat_sample": q_strat_sample,
+        "strat_cap": q_strat_cap,
         "emb_near_dup": q_emb_near_dup,
         "ann_cosine": q_ann_cosine,
         "events_daily": q_events_daily,
@@ -2317,6 +2344,31 @@ SELECT d.doc_id AS doc_id,
        round(1.0 / (1.0 + exp(-(0.1 + s.mean_w))), 6) AS score
 FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
 ORDER BY d.doc_id
+"""
+
+    # --- deterministic stratified sampling (round 6) ---
+    from bayard_spark.functions.sampling import HASH_BUCKETS
+
+    _thr_even = int(0.25 * HASH_BUCKETS)
+    _thr_odd = int(0.6 * HASH_BUCKETS)
+    _shash = (
+        "CAST(('0x' || substr(md5(doc_id::VARCHAR || chr(31) || '7'), 1, "
+        f"15)) AS BIGINT) % {HASH_BUCKETS}"
+    )
+    sqls["strat_sample"] = f"""
+SELECT doc_id, source FROM documents
+WHERE {_shash} < CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+                      THEN {_thr_even} ELSE {_thr_odd} END
+ORDER BY doc_id
+"""
+
+    sqls["strat_cap"] = f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY {_shash}, doc_id) AS rn
+  FROM documents
+) WHERE rn <= 11 ORDER BY doc_id
 """
 
     return sqls

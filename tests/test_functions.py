@@ -830,3 +830,66 @@ class TestLinearTextScore:
         finally:
             textstats.CLS_WEIGHTS_BROADCAST_MAX = old
         assert out2 == out
+
+
+class TestSampling:
+    """Deterministic corpus sampling (functions/sampling.py)."""
+
+    def test_fraction_sample_deterministic_and_proportional(self, spark):
+        from bayard_spark.functions import sampling
+
+        df = spark.range(4000).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("src"),
+        )
+        out = sampling.hash_fraction_sample(
+            df, "src", {"a": 0.3, "b": 0.9}, seed=5
+        )
+        rows = out.collect()
+        got = {r["doc_id"] for r in rows}
+        # partitioning-independent: identical selection after repartition
+        got2 = {
+            r["doc_id"]
+            for r in sampling.hash_fraction_sample(
+                df.repartition(13), "src", {"a": 0.3, "b": 0.9}, seed=5
+            ).collect()
+        }
+        assert got == got2
+        na = sum(1 for r in rows if r["src"] == "a")
+        nb = sum(1 for r in rows if r["src"] == "b")
+        assert abs(na / 2000 - 0.3) < 0.05 and abs(nb / 2000 - 0.9) < 0.05
+        # different seed -> different draw
+        got3 = {
+            r["doc_id"]
+            for r in sampling.hash_fraction_sample(
+                df, "src", {"a": 0.3, "b": 0.9}, seed=6
+            ).collect()
+        }
+        assert got3 != got
+        # default_fraction keeps unlisted strata whole
+        all_b = sampling.hash_fraction_sample(df, "src", {"a": 0.0}).collect()
+        assert all(r["src"] == "b" for r in all_b) and len(all_b) == 2000
+
+    def test_stratified_cap_exact(self, spark):
+        from bayard_spark.functions import sampling
+
+        df = spark.range(300).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") < 200, "big").otherwise("small").alias("src"),
+        )
+        out = sampling.stratified_cap(df, "src", cap=40, seed=3).collect()
+        by = {}
+        for r in out:
+            by.setdefault(r["src"], set()).add(r["doc_id"])
+        assert len(by["big"]) == 40 and len(by["small"]) == 40
+        # per-stratum dict: missing stratum keeps everything
+        out2 = sampling.stratified_cap(df, "src", cap={"big": 25}).collect()
+        by2 = {}
+        for r in out2:
+            by2.setdefault(r["src"], set()).add(r["doc_id"])
+        assert len(by2["big"]) == 25 and len(by2["small"]) == 100
+        # deterministic under repartition
+        out3 = sampling.stratified_cap(
+            df.repartition(7), "src", cap=40, seed=3
+        ).collect()
+        assert {r["doc_id"] for r in out3} == {r["doc_id"] for r in out}
