@@ -897,6 +897,60 @@ def q_text_classifier(spark, sf_dir):
     return out.orderBy("doc_id")
 
 
+def q_streaming_dedup(spark, sf_dir):
+    """§2.9 streaming cross-batch exact dedup: documents arrive as three
+    doc_id-range micro-batches (one file per epoch, ascending mtimes);
+    the StreamingDeduper emits only first-seen content hashes. With
+    range-ordered batches the winner rule (earliest epoch, then min id)
+    reduces to global min doc_id per exact text — which the DuckDB twin
+    replays as a row_number over PARTITION BY text."""
+    import os
+    import shutil
+    import tempfile
+
+    from bayard_spark.streaming.dedup import start_streaming_dedup
+
+    # the word-soup corpus has no exact dup texts — plant them: every
+    # doc_id % 9 == 0 doc collapses to one of four constants, creating
+    # dup groups that SPAN the three range batches (shared with the twin)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(F.lit("boilerplate "), (F.col("doc_id") % 4).cast("string")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    hi = docs.agg(F.max("doc_id")).collect()[0][0]
+    cuts = [0, (hi + 1) // 3, 2 * (hi + 1) // 3, hi + 1]
+    src = tempfile.mkdtemp(prefix="gate_sdedup_src_")
+    out = tempfile.mkdtemp(prefix="gate_sdedup_out_")
+    state = tempfile.mkdtemp(prefix="gate_sdedup_state_")
+    ckpt = tempfile.mkdtemp(prefix="gate_sdedup_ckpt_")
+    try:
+        for i in range(3):
+            part = docs.filter(
+                (F.col("doc_id") >= cuts[i]) & (F.col("doc_id") < cuts[i + 1])
+            )
+            tmp = tempfile.mkdtemp(prefix="gate_sdedup_tmp_")
+            part.coalesce(1).write.mode("overwrite").parquet(tmp)
+            pf = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+            dst = os.path.join(src, f"b{i}.parquet")
+            shutil.copy(os.path.join(tmp, pf), dst)
+            os.utime(dst, times=(1_700_000_000 + i, 1_700_000_000 + i))
+            shutil.rmtree(tmp, ignore_errors=True)
+        q = start_streaming_dedup(
+            spark, src, "doc_id long, text string", out, state, ckpt
+        )
+        q.awaitTermination(300)
+        kept = spark.read.parquet(out).select("doc_id").toPandas()
+    finally:
+        for p in (src, out, state, ckpt):
+            shutil.rmtree(p, ignore_errors=True)
+    return spark.createDataFrame(kept, "doc_id long").orderBy("doc_id")
+
+
 def q_strat_sample(spark, sf_dir):
     """Deterministic per-stratum Bernoulli sampling (training-data
     mixing) via the PRODUCTION operator (functions/sampling.py
@@ -1370,6 +1424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_classifier": q_text_classifier,
         "strat_sample": q_strat_sample,
         "strat_cap": q_strat_cap,
+        "streaming_dedup": q_streaming_dedup,
         "emb_near_dup": q_emb_near_dup,
         "ann_cosine": q_ann_cosine,
         "events_daily": q_events_daily,
@@ -2369,6 +2424,22 @@ SELECT doc_id, source FROM (
                             ORDER BY {_shash}, doc_id) AS rn
   FROM documents
 ) WHERE rn <= 11 ORDER BY doc_id
+"""
+
+    sqls["streaming_dedup"] = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 9 = 0
+              THEN 'boilerplate ' || (doc_id % 4)::VARCHAR
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id FROM (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY coalesce(text, '')
+                            ORDER BY doc_id) AS rn
+  FROM d
+) WHERE rn = 1 ORDER BY doc_id
 """
 
     return sqls
