@@ -2322,7 +2322,7 @@ p AS (
 ),
 n AS (
   SELECT doc_id, scheme, host,
-         (scheme <> '' AND host <> '') AS ok,
+         (scheme <> '' AND host <> '' AND NOT contains(host, '[')) AS ok,
          CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
                    OR (scheme = 'https' AND port = '443')
               THEN '' ELSE ':' || port END AS keep_port,

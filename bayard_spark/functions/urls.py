@@ -126,7 +126,10 @@ def url_normalize(
         .otherwise(host)
     )
 
-    ok = (scheme != "") & (host != "")
+    # IPv6 bracket literals ([::1]) would mis-split on ':' — emit typed
+    # NULLs (same contract as unparseable URLs) rather than a half-parsed
+    # host; bracket hosts are vanishingly rare in crawl URL sets
+    ok = (scheme != "") & (host != "") & ~host.contains("[")
     url_norm = F.concat(F.lit(""), scheme, F.lit("://"), host, keep_port,
                         path, query)
     return df.select(

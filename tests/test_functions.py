@@ -715,6 +715,19 @@ class TestUrlOps:
         assert out[8]["url_norm"] == "https://sub.domain.github.io/x?a=1"
         assert out[8]["registered_domain"] == "github.io"
 
+    def test_ipv6_bracket_host_is_typed_null(self, spark):
+        from bayard_spark.functions import urls
+
+        df = spark.createDataFrame(
+            [(1, "http://[::1]:8080/x"), (2, "https://[2001:db8::1]/y")],
+            "doc_id long, url string",
+        )
+        out = {r["doc_id"]: r for r in urls.url_normalize(df).collect()}
+        for i in (1, 2):
+            assert out[i]["url_norm"] is None
+            assert out[i]["host"] is None
+            assert out[i]["registered_domain"] is None
+
     def test_domain_filter_hand_computed(self, spark):
         from bayard_spark.functions import urls
 
