@@ -869,6 +869,44 @@ def q_url_norm(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_dedup_cc(spark, sf_dir):
+    """Near-dup cluster resolution via the PRODUCTION connected-components
+    operator (functions/dedup.py connected_components — alternating
+    large-star/small-star, Kiveris et al. SoCC'14, O(log n) rounds) plus
+    keep-canonical, over a planted pair graph with deep chains (diameter
+    49 — label propagation would NOT converge in the round budget) and
+    hub stars. Oracle replays the component closure with a recursive CTE."""
+    from bayard_spark.functions.dedup import dedup_keep_canonical
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    d1 = docs.alias("d1")
+    d2 = docs.alias("d2")
+    chain = (
+        d1.filter(
+            (F.col("d1.doc_id") < 200) & (F.col("d1.doc_id") % 50 != 49)
+        )
+        .join(d2, F.col("d2.doc_id") == F.col("d1.doc_id") + 1)
+        .select(
+            F.col("d1.doc_id").alias("id_a"),
+            F.col("d2.doc_id").alias("id_b"),
+        )
+    )
+    star = docs.filter(
+        (F.col("doc_id") >= 200)
+        & (F.col("doc_id") < 300)
+        & (F.col("doc_id") % 25 != 0)
+    ).select(
+        (F.col("doc_id") - F.col("doc_id") % 25).alias("id_a"),
+        F.col("doc_id").alias("id_b"),
+    )
+    out = dedup_keep_canonical(docs, chain.union(star))
+    return out.select(
+        "doc_id",
+        "cluster_id",
+        F.col("kept").cast("int").alias("kept"),
+    ).orderBy("doc_id")
+
+
 _CLS_BUCKETS = 4096
 
 
@@ -1421,6 +1459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii": q_pii,
         "span_dedup": q_span_dedup,
         "url_norm": q_url_norm,
+        "dedup_cc": q_dedup_cc,
         "text_classifier": q_text_classifier,
         "strat_sample": q_strat_sample,
         "strat_cap": q_strat_cap,
@@ -2358,6 +2397,34 @@ SELECT doc_id,
        CAST(CASE WHEN ok THEN coalesce(reg IN ({_bl}), false)
                  ELSE false END AS INTEGER) AS is_blocked
 FROM r ORDER BY doc_id
+"""
+
+    sqls["dedup_cc"] = """
+WITH RECURSIVE
+chain AS (
+  SELECT d1.doc_id AS u, d2.doc_id AS v
+  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+  WHERE d1.doc_id < 200 AND d1.doc_id % 50 <> 49
+),
+star AS (
+  SELECT doc_id - doc_id % 25 AS u, doc_id AS v
+  FROM documents
+  WHERE doc_id >= 200 AND doc_id < 300 AND doc_id % 25 <> 0
+),
+e AS (SELECT u, v FROM chain UNION SELECT u, v FROM star),
+und AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+reach(u, r) AS (
+  SELECT u, u AS r FROM (SELECT DISTINCT u FROM und)
+  UNION
+  SELECT und.u, reach.r FROM und JOIN reach ON und.v = reach.u
+),
+cl AS (SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u)
+SELECT d.doc_id,
+       coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+       CAST(CASE WHEN coalesce(cl.cluster_id, d.doc_id) = d.doc_id
+                 THEN 1 ELSE 0 END AS INTEGER) AS kept
+FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
+ORDER BY d.doc_id
 """
 
     sqls["text_classifier"] = f"""

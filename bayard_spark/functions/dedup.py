@@ -520,3 +520,149 @@ def simhash_near_pairs(
         pairs.select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ------------------------------------------------- dedup-cluster resolution
+#
+# LSH/simhash/embedding ops above emit near-dup PAIRS; a real pipeline must
+# resolve them into CLUSTERS (connected components) and keep one canonical
+# doc per cluster. Label propagation converges in O(diameter) rounds — a
+# chain of near-dups (A~B~C~...) makes that unbounded — so we use the
+# alternating large-star / small-star algorithm (Kiveris et al., "Connected
+# Components in MapReduce and Beyond", SoCC 2014): O(log n) rounds, each
+# round two groupBy-shuffles on node id with map-side partial aggregation.
+# Convergence is detected with a 1-row checksum aggregate per round (no
+# edge-list collect); the pair graph from banded LSH is vastly smaller than
+# the corpus, so even the worst round is cheap relative to signature build.
+
+
+def _canonical_edges(pairs: DataFrame, id_a: str, id_b: str) -> DataFrame:
+    """Undirected edge list (u, v) — null-free, no self-loops, deduped."""
+    e = pairs.select(
+        F.col(id_a).alias("u"),
+        F.col(id_b).alias("v"),
+    ).filter(
+        F.col("u").isNotNull() & F.col("v").isNotNull()
+        & (F.col("u") != F.col("v"))
+    )
+    return e.select(
+        F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+    ).distinct()
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: connect every strictly-larger neighbor to
+    min(Γ(u) ∪ {u})."""
+    nbrs = edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    m = nbrs.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m")
+    )
+    return (
+        nbrs.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges large→small; for each node u connect u and all its
+    smaller neighbors to min(N(u) ∪ {u})."""
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    m = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    withm = oriented.join(m, "u")
+    to_children = withm.select(F.col("v").alias("u"), F.col("m").alias("v"))
+    to_self = m.select(F.col("u"), F.col("m").alias("v"))
+    return (
+        to_children.union(to_self)
+        .filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """(id, cluster_id) for every node that appears in `pairs`, where
+    cluster_id = the minimum node id of its connected component.
+
+    Alternating large-star/small-star; terminates when a full round leaves
+    the edge set unchanged (1-row count+hash checksum, no collect of the
+    edges themselves). max_iters=25 covers graphs up to ~2^25 nodes of
+    pathological shape; real LSH graphs converge in ≤5 rounds.
+
+    Reference parity note: the reference engine has no near-dup machinery
+    (bayard/src/index — exact doc-id upsert only); this op serves the
+    training-data-pipeline surface over the same tables.
+    """
+    edges = _canonical_edges(pairs, id_a, id_b)
+    nodes = (
+        edges.select(F.col("u").alias("id"))
+        .union(edges.select(F.col("v").alias("id")))
+        .distinct()
+    )
+    def _checksum(e: DataFrame):
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = _checksum(edges)
+    if prev[0] == 0:
+        return edges.select(
+            F.col("u").alias("id"), F.col("u").alias("cluster_id")
+        ).limit(0)
+    for _ in range(max_iters):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        cur = _checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds"
+        )
+    # fixpoint: edges form stars (child -> component-min root)
+    star = edges.select(
+        F.greatest("u", "v").alias("id"), F.least("u", "v").alias("cluster_id")
+    )
+    return nodes.join(star, "id", "left").select(
+        "id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id")
+    )
+
+
+def dedup_keep_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """df + (cluster_id, kept): resolve near-dup pairs into components and
+    keep exactly the minimum-id doc of each cluster (docs in no pair keep
+    themselves). Join is a plain shuffle join on id — the cluster map is
+    O(|pair nodes|), not O(corpus), so Spark/AQE may broadcast it when small
+    but correctness never depends on that."""
+    cl = connected_components(pairs, id_a, id_b).withColumnRenamed(
+        "id", id_col
+    )
+    out = df.join(cl, id_col, "left")
+    cluster = F.coalesce("cluster_id", F.col(id_col))
+    return out.select(
+        *[c for c in df.columns],
+        cluster.alias("cluster_id"),
+        (cluster == F.col(id_col)).alias("kept"),
+    )

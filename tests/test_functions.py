@@ -103,6 +103,99 @@ class TestDedup:
         out.count()  # no crash; synthetic corpus has near-dups by vocab reuse
 
 
+def _uf_clusters(pairs):
+    """Union-find reference: {node: min id of its component}."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+class TestConnectedComponents:
+    def _run(self, spark, edge_list):
+        df = spark.createDataFrame(edge_list, "id_a long, id_b long")
+        out = dedup.connected_components(df).collect()
+        return {r["id"]: r["cluster_id"] for r in out}
+
+    def test_chain_deep_graph(self, spark):
+        # 200-node path: label propagation would need 200 rounds; the
+        # star algorithm must resolve it within the max_iters bound
+        edges = [(i, i + 1) for i in range(200)]
+        got = self._run(spark, edges)
+        assert got == {i: 0 for i in range(201)}
+
+    def test_random_graph_matches_union_find(self, spark):
+        import random
+
+        rng = random.Random(6)
+        edges = [
+            (rng.randrange(120), rng.randrange(120)) for _ in range(90)
+        ]
+        edges = [e for e in edges if e[0] != e[1]]
+        got = self._run(spark, edges)
+        assert got == _uf_clusters(edges)
+
+    def test_two_components_and_reversed_dup_pairs(self, spark):
+        edges = [(5, 3), (3, 5), (3, 9), (20, 30), (30, 20), (40, 30)]
+        got = self._run(spark, edges)
+        assert got == {3: 3, 5: 3, 9: 3, 20: 20, 30: 20, 40: 20}
+
+    def test_empty_and_self_loops_only(self, spark):
+        assert self._run(spark, []) == {}
+        df = spark.createDataFrame([(7, 7)], "id_a long, id_b long")
+        assert dedup.connected_components(df).collect() == []
+
+    def test_string_ids_preserved(self, spark):
+        df = spark.createDataFrame(
+            [("b", "a"), ("b", "c"), ("x", "y")], "id_a string, id_b string"
+        )
+        out = {
+            r["id"]: r["cluster_id"]
+            for r in dedup.connected_components(df).collect()
+        }
+        assert out == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+    def test_keep_canonical(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"t{i}") for i in range(8)], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame(
+            [(1, 4), (4, 6), (2, 3)], "id_a long, id_b long"
+        )
+        out = {
+            r["doc_id"]: (r["cluster_id"], r["kept"])
+            for r in dedup.dedup_keep_canonical(docs, pairs).collect()
+        }
+        assert out == {
+            0: (0, True), 1: (1, True), 2: (2, True), 3: (2, False),
+            4: (1, False), 5: (5, True), 6: (1, False), 7: (7, True),
+        }
+
+    def test_composes_with_minhash_pairs(self, spark):
+        # planted exact dup groups -> minhash pairs -> clusters: every
+        # cluster's members share the planted group key
+        rows = [(i, f"w{i % 4} " * 12) for i in range(24)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = dedup.minhash_dedup_pairs(
+            df, num_hashes=16, bands=4, threshold=0.9
+        ).select("id_a", "id_b")
+        out = dedup.dedup_keep_canonical(df, pairs).collect()
+        by_doc = {r["doc_id"]: r["cluster_id"] for r in out}
+        assert by_doc == {i: i % 4 for i in range(24)}
+        kept = sorted(r["doc_id"] for r in out if r["kept"])
+        assert kept == [0, 1, 2, 3]
+
+
 class TestSimilarity:
     def test_cosine_topk_matches_numpy(self, emb):
         rows = emb.orderBy("vec_id").limit(200).collect()
