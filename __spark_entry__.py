@@ -907,6 +907,45 @@ def q_dedup_cc(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_chunk_sliding(spark, sf_dir):
+    """Sliding context-window chunking via the PRODUCTION operator
+    (functions/chunking.py chunk_tokens_sliding): overlapping 32-token
+    windows at stride 24, planted empty docs emit zero chunks."""
+    from bayard_spark.functions.chunking import chunk_tokens_sliding
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 19 == 0, F.lit("")).otherwise(
+            F.col("text")
+        ).alias("text"),
+    )
+    return chunk_tokens_sliding(docs, size=32, stride=24).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+def q_chunk_pack(spark, sf_dir):
+    """Greedy paragraph packing via the PRODUCTION operator
+    (functions/chunking.py pack_paragraphs_greedy): 5-word lines as
+    paragraphs, budget 12 tokens; every 5th doc stays one oversized
+    paragraph (never split — its chunk exceeds the budget). Oracle
+    replays the sequential greedy fold with a recursive CTE."""
+    from bayard_spark.functions.chunking import pack_paragraphs_greedy
+
+    docs = _docs(spark, sf_dir)
+    lined = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.col("text"))
+        .otherwise(
+            F.regexp_replace(F.col("text"), _LINEIFY_RE, "$1\n")
+        )
+        .alias("text"),
+    )
+    return pack_paragraphs_greedy(lined, budget=12).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
 _CLS_BUCKETS = 4096
 
 
@@ -1460,6 +1499,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "url_norm": q_url_norm,
         "dedup_cc": q_dedup_cc,
+        "chunk_sliding": q_chunk_sliding,
+        "chunk_pack": q_chunk_pack,
         "text_classifier": q_text_classifier,
         "strat_sample": q_strat_sample,
         "strat_cap": q_strat_cap,
@@ -2425,6 +2466,76 @@ SELECT d.doc_id,
                  THEN 1 ELSE 0 END AS INTEGER) AS kept
 FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id
 ORDER BY d.doc_id
+"""
+
+    sqls["chunk_sliding"] = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 19 = 0 THEN '' ELSE text END AS text
+  FROM documents
+),
+t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')
+           AS toks
+  FROM d
+),
+w AS (
+  SELECT doc_id, toks, i AS chunk_idx
+  FROM t,
+  LATERAL (SELECT unnest(generate_series(0,
+    CAST(ceil(greatest(len(toks) - 32, 0) / 24.0) AS INT))) AS i) g
+  WHERE len(toks) > 0
+)
+SELECT doc_id,
+       CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       array_to_string(list_slice(toks, chunk_idx * 24 + 1,
+                                  chunk_idx * 24 + 32), ' ') AS chunk_text,
+       CAST(len(list_slice(toks, chunk_idx * 24 + 1, chunk_idx * 24 + 32))
+            AS INTEGER) AS n_tokens
+FROM w ORDER BY doc_id, chunk_idx
+"""
+
+    sqls["chunk_pack"] = f"""
+WITH RECURSIVE
+d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text ELSE {_lineify} END AS text
+  FROM documents
+),
+raw AS (
+  SELECT doc_id, i AS orig, ps[i] AS para
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ps FROM d),
+  LATERAL (SELECT unnest(generate_series(1, len(ps))) AS i) g
+),
+p AS (
+  SELECT doc_id, para, tk,
+         row_number() OVER (PARTITION BY doc_id ORDER BY orig) AS pidx
+  FROM (
+    SELECT doc_id, orig, para,
+           len(list_filter(regexp_split_to_array(para, '\\s+'),
+                           x -> x <> '')) AS tk
+    FROM raw
+  )
+  WHERE trim(para) <> ''
+),
+state(doc_id, pidx, chunk, running) AS (
+  SELECT doc_id, CAST(1 AS BIGINT), 0, tk FROM p WHERE pidx = 1
+  UNION ALL
+  SELECT p.doc_id, p.pidx,
+         CASE WHEN s.running + p.tk > 12 THEN s.chunk + 1 ELSE s.chunk END,
+         CASE WHEN s.running + p.tk > 12 THEN p.tk
+              ELSE s.running + p.tk END
+  FROM state s JOIN p ON p.doc_id = s.doc_id AND p.pidx = s.pidx + 1
+)
+SELECT s.doc_id,
+       CAST(s.chunk AS INTEGER) AS chunk_idx,
+       string_agg(p.para, chr(10) ORDER BY s.pidx) AS chunk_text,
+       CAST(sum(p.tk) AS INTEGER) AS n_tokens,
+       CAST(count(*) AS INTEGER) AS n_paras
+FROM state s JOIN p ON p.doc_id = s.doc_id AND p.pidx = s.pidx
+GROUP BY s.doc_id, s.chunk
+ORDER BY s.doc_id, chunk_idx
 """
 
     sqls["text_classifier"] = f"""

@@ -4,7 +4,13 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from bayard_spark.functions import dedup, multimodal, similarity, textstats
+from bayard_spark.functions import (
+    chunking,
+    dedup,
+    multimodal,
+    similarity,
+    textstats,
+)
 
 SF = "/root/testdata/sf0.001"
 
@@ -194,6 +200,90 @@ class TestConnectedComponents:
         assert by_doc == {i: i % 4 for i in range(24)}
         kept = sorted(r["doc_id"] for r in out if r["kept"])
         assert kept == [0, 1, 2, 3]
+
+
+class TestChunking:
+    def test_sliding_hand_computed(self, spark):
+        text = " ".join(f"t{i}" for i in range(10))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        out = sorted(
+            chunking.chunk_tokens_sliding(df, size=4, stride=3).collect(),
+            key=lambda r: r["chunk_idx"],
+        )
+        got = [(r["chunk_idx"], r["chunk_text"], r["n_tokens"]) for r in out]
+        assert got == [
+            (0, "t0 t1 t2 t3", 4),
+            (1, "t3 t4 t5 t6", 4),
+            (2, "t6 t7 t8 t9", 4),
+        ]
+
+    def test_sliding_short_doc_and_empty(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "   "), (3, "")], "doc_id long, text string"
+        )
+        out = chunking.chunk_tokens_sliding(df, size=4, stride=3).collect()
+        assert [(r["doc_id"], r["chunk_text"]) for r in out] == [(1, "a b")]
+
+    def test_sliding_disjoint_reconstructs_doc(self, spark):
+        text = " ".join(f"w{i}" for i in range(23))
+        df = spark.createDataFrame([(7, text)], "doc_id long, text string")
+        out = sorted(
+            chunking.chunk_tokens_sliding(df, size=5, stride=5).collect(),
+            key=lambda r: r["chunk_idx"],
+        )
+        assert " ".join(r["chunk_text"] for r in out) == text
+        assert [r["n_tokens"] for r in out] == [5, 5, 5, 5, 3]
+
+    def test_pack_hand_computed(self, spark):
+        paras = ["a b c", "d e", "f g h i", "j", "k l m n o p q r s t u"]
+        df = spark.createDataFrame(
+            [(1, "\n".join(paras))], "doc_id long, text string"
+        )
+        out = sorted(
+            chunking.pack_paragraphs_greedy(df, budget=6).collect(),
+            key=lambda r: r["chunk_idx"],
+        )
+        got = [
+            (r["chunk_idx"], r["chunk_text"], r["n_tokens"], r["n_paras"])
+            for r in out
+        ]
+        # 3+2 fits; +4 would be 9 > 6 -> new chunk; 4+1 fits; 11 > 6 alone
+        assert got == [
+            (0, "a b c\nd e", 5, 2),
+            (1, "f g h i\nj", 5, 2),
+            (2, "k l m n o p q r s t u", 11, 1),
+        ]
+
+    def test_pack_exact_fit_joins(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c\nd e f")], "doc_id long, text string"
+        )
+        out = chunking.pack_paragraphs_greedy(df, budget=6).collect()
+        assert len(out) == 1 and out[0]["n_tokens"] == 6
+
+    def test_pack_blank_paras_and_null(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b\n\n  \nc"), (2, None), (3, "\n \n")],
+            "doc_id long, text string",
+        )
+        out = chunking.pack_paragraphs_greedy(df, budget=10).collect()
+        assert [(r["doc_id"], r["chunk_text"], r["n_paras"]) for r in out] == [
+            (1, "a b\nc", 2)
+        ]
+
+    def test_real_corpus_coverage(self, docs):
+        sl = chunking.chunk_tokens_sliding(
+            docs.limit(50), size=64, stride=64
+        )
+        tok_total = sl.agg(F.sum("n_tokens")).collect()[0][0]
+        from bayard_spark.functions.textstats import token_counts
+
+        ref = (
+            token_counts(docs.limit(50))
+            .agg(F.sum("n_ws_tokens"))
+            .collect()[0][0]
+        )
+        assert tok_total == ref
 
 
 class TestSimilarity:
