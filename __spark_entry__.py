@@ -946,6 +946,35 @@ def q_chunk_pack(spark, sf_dir):
     )
 
 
+_MOJI_PHRASE = "café déjà — «naïve» … €42 ™"
+_MOJI_CORRUPT = _MOJI_PHRASE.encode("utf-8").decode("cp1252")
+
+
+def q_mojibake(spark, sf_dir):
+    """cp1252-mojibake repair via the PRODUCTION operator
+    (functions/encoding.py fix_mojibake — codec-generated substitution
+    table, marker-gated JVM replace chain) over deterministically
+    corrupted text (every 4th doc gets a UTF-8-read-as-cp1252 phrase)."""
+    from bayard_spark.functions.encoding import fix_mojibake
+
+    docs = _docs(spark, sf_dir)
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 4 == 0, F.lit(" " + _MOJI_CORRUPT)
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = fix_mojibake(planted)
+    return out.select(
+        "doc_id",
+        "text_fixed",
+        F.col("was_mojibake").cast("int").alias("was_mojibake"),
+    ).orderBy("doc_id")
+
+
 _CLS_BUCKETS = 4096
 
 
@@ -1501,6 +1530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cc": q_dedup_cc,
         "chunk_sliding": q_chunk_sliding,
         "chunk_pack": q_chunk_pack,
+        "mojibake": q_mojibake,
         "text_classifier": q_text_classifier,
         "strat_sample": q_strat_sample,
         "strat_cap": q_strat_cap,
@@ -2536,6 +2566,31 @@ SELECT s.doc_id,
 FROM state s JOIN p ON p.doc_id = s.doc_id AND p.pidx = s.pidx
 GROUP BY s.doc_id, s.chunk
 ORDER BY s.doc_id, chunk_idx
+"""
+
+    from bayard_spark.functions.encoding import (
+        MOJIBAKE_MARKER_RE,
+        repair_sql_expr,
+    )
+
+    _moji_lit = _MOJI_CORRUPT.replace("'", "''")
+    sqls["mojibake"] = f"""
+WITH d AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 4 = 0 THEN ' {_moji_lit}'
+                      ELSE '' END AS text
+  FROM documents
+),
+f AS (
+  SELECT doc_id, text,
+         CASE WHEN regexp_matches(text, '{MOJIBAKE_MARKER_RE}')
+              THEN {repair_sql_expr('text')}
+              ELSE text END AS text_fixed
+  FROM d
+)
+SELECT doc_id, text_fixed,
+       CAST(text_fixed <> text AS INTEGER) AS was_mojibake
+FROM f ORDER BY doc_id
 """
 
     sqls["text_classifier"] = f"""

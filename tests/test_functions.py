@@ -286,6 +286,78 @@ class TestChunking:
         assert tok_total == ref
 
 
+class TestMojibake:
+    def _corrupt(self, s):
+        return s.encode("utf-8").decode("cp1252")
+
+    def test_roundtrip_common_phrases(self, spark):
+        from bayard_spark.functions import encoding
+
+        phrases = [
+            'café déjà vu — "naïve" résumé … €42 ™ ñoño',
+            "Üben führt zum Ziel, œuvre complète",
+            "São Paulo próximo à praça",
+        ]
+        rows = [(i, self._corrupt(p)) for i, p in enumerate(phrases)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = sorted(
+            encoding.fix_mojibake(df).collect(), key=lambda r: r["doc_id"]
+        )
+        for r, p in zip(out, phrases):
+            assert r["text_fixed"] == p
+            assert r["was_mojibake"] is True
+
+    def test_every_table_target_roundtrips(self, spark):
+        from bayard_spark.functions import encoding
+
+        targets = " ".join(ch for _, ch in encoding.MOJIBAKE_TABLE)
+        df = spark.createDataFrame(
+            [(1, self._corrupt(targets))], "doc_id long, text string"
+        )
+        out = encoding.fix_mojibake(df).collect()[0]
+        assert out["text_fixed"] == targets
+
+    def test_clean_and_null_text_untouched(self, spark):
+        from bayard_spark.functions import encoding
+
+        df = spark.createDataFrame(
+            [(1, "plain ascii text"), (2, None), (3, "")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: (r["text_fixed"], r["was_mojibake"])
+            for r in encoding.fix_mojibake(df).collect()
+        }
+        assert out == {
+            1: ("plain ascii text", False),
+            2: (None, False),
+            3: ("", False),
+        }
+
+    def test_double_encoding_needs_two_passes(self, spark):
+        from bayard_spark.functions import encoding
+
+        s = "héllo wörld"
+        twice = self._corrupt(self._corrupt(s))
+        df = spark.createDataFrame([(1, twice)], "doc_id long, text string")
+        one = encoding.fix_mojibake(df, passes=1).collect()[0]["text_fixed"]
+        two = encoding.fix_mojibake(df, passes=2).collect()[0]["text_fixed"]
+        assert one == self._corrupt(s) and two == s
+
+    def test_sql_expr_matches_spark(self, spark):
+        import duckdb
+
+        from bayard_spark.functions import encoding
+
+        s = 'mixed: café — "x" … €9 plain'
+        corrupted = self._corrupt(s).replace("'", "''")
+        lit = "'" + corrupted + "'"
+        got = duckdb.sql(
+            f"SELECT {encoding.repair_sql_expr(lit)} AS t"
+        ).fetchone()[0]
+        assert got == s
+
+
 class TestSimilarity:
     def test_cosine_topk_matches_numpy(self, emb):
         rows = emb.orderBy("vec_id").limit(200).collect()
