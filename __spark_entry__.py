@@ -1482,6 +1482,64 @@ def _term_cte(n: int, term: str) -> str:
     )
 
 
+_BPE_TRAIN_MERGES = 12
+
+# Fixed merge table for the encode gate — the model is an INPUT (any
+# offline trainer's merges drop in), mirroring the text_classifier gate's
+# synthetic-weights convention.  Pairs picked over the word-soup vocab so
+# several chains actually fire (t+h→th→the→the</w>, a+n→an→and, …).
+_BPE_FIXED_MERGES = [
+    ("t", "h"),
+    ("th", "e"),
+    ("e", "</w>"),
+    ("the", "</w>"),
+    ("a", "n"),
+    ("an", "d"),
+    ("and", "</w>"),
+    ("o", "f"),
+    ("i", "n"),
+    ("s", "</w>"),
+    ("e", "r"),
+    ("o", "u"),
+]
+
+
+def q_bpe_train(spark, sf_dir):
+    """BPE training via the PRODUCTION trainer (functions/bpe.py):
+    distributed word-count groupBy -> capped type collect -> driver merge
+    loop with incremental pair counts.  The DuckDB twin replays all 12
+    rounds UNROLLED (pair counts over symbol states, argmax with the
+    (count DESC, left, right) tie-break, leftmost-nonoverlap merge via
+    string replace on separator-wrapped states) — bit-compared."""
+    from bayard_spark.functions.bpe import merges_df, train_bpe
+
+    docs = _docs(spark, sf_dir)
+    merges = train_bpe(docs, _BPE_TRAIN_MERGES)
+    return (
+        merges_df(spark, merges)
+        .select("rank", F.col("left").alias("lft"), F.col("right").alias("rgt"))
+        .orderBy("rank")
+    )
+
+
+def q_bpe_encode(spark, sf_dir):
+    """BPE encoding via the PRODUCTION encoder (mapInPandas, per-batch
+    unique-word memo) with the fixed input merge table.  The DuckDB twin
+    re-encodes every DISTINCT word with a recursive CTE that repeatedly
+    merges the lowest-rank pair present (leftmost-nonoverlapping via
+    replace on separator-wrapped states) and joins the encodings back
+    onto the positional token stream — bit-compared."""
+    from bayard_spark.functions.bpe import bpe_encode
+
+    docs = _docs(spark, sf_dir)
+    out = bpe_encode(docs, _BPE_FIXED_MERGES)
+    return out.select(
+        "doc_id",
+        F.concat_ws(" ", F.col("bpe_tokens")).alias("bpe_text"),
+        F.size("bpe_tokens").alias("n_bpe"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "term_bm25": q_term_bm25,
@@ -1535,6 +1593,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strat_sample": q_strat_sample,
         "strat_cap": q_strat_cap,
         "streaming_dedup": q_streaming_dedup,
+        "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
         "emb_near_dup": q_emb_near_dup,
         "ann_cosine": q_ann_cosine,
         "events_daily": q_events_daily,
@@ -2674,6 +2734,111 @@ SELECT doc_id FROM (
   FROM d
 ) WHERE rn = 1 ORDER BY doc_id
 """
+
+    # ---- BPE: symbol states are separator-wrapped strings so a pair
+    # merge is one leftmost-nonoverlapping string replace:
+    #   state("the") = US t US US h US US e US US </w> US   (US = chr(31))
+    #   merge (t,h)  = replace(state, US t US US h US, US th US)
+    _us = "chr(31)"
+    _bpe_init = (
+        "list_aggregate(list_transform(regexp_split_to_array(word, ''),"
+        f" c -> {_us}||c||{_us}), 'string_agg', '')"
+        f" || {_us}||'</w>'||{_us}"
+    )
+
+    train_parts = [
+        """
+WITH
+wc AS (
+  SELECT word, count(*) AS cnt FROM (
+    SELECT unnest(list_filter(
+             regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'),
+             x -> x <> '')) AS word
+    FROM documents
+  ) GROUP BY word
+),
+st0 AS MATERIALIZED (SELECT word, cnt, """
+        + _bpe_init
+        + """ AS s FROM wc)"""
+    ]
+    # every st{k}/m{k} is referenced twice downstream — MATERIALIZED stops
+    # DuckDB's CTE inlining from recomputing the chain 2^k times
+    for k in range(1, _BPE_TRAIN_MERGES + 1):
+        train_parts.append(f""",
+p{k} AS (
+  SELECT syms[i] AS l, syms[i + 1] AS r, sum(cnt) AS c
+  FROM (SELECT cnt, string_split(trim(s, {_us}), {_us}||{_us}) AS syms
+        FROM st{k - 1}),
+       LATERAL (SELECT unnest(generate_series(1, len(syms) - 1)) AS i) g
+  GROUP BY 1, 2
+),
+m{k} AS MATERIALIZED (SELECT l, r FROM p{k} ORDER BY c DESC, l, r LIMIT 1),
+st{k} AS MATERIALIZED (
+  SELECT word, cnt,
+         replace(s, {_us}||m.l||{_us}||{_us}||m.r||{_us},
+                 {_us}||m.l||m.r||{_us}) AS s
+  FROM st{k - 1}, m{k} m
+)""")
+    train_parts.append(
+        "\n"
+        + "\nUNION ALL\n".join(
+            f"SELECT {k} AS rank, l AS lft, r AS rgt FROM m{k}"
+            for k in range(1, _BPE_TRAIN_MERGES + 1)
+        )
+        + "\nORDER BY rank"
+    )
+    sqls["bpe_train"] = "".join(train_parts)
+
+    _bpe_vals = ", ".join(
+        f"({i + 1}, '{l}', '{r}')" for i, (l, r) in enumerate(_BPE_FIXED_MERGES)
+    )
+    sqls["bpe_encode"] = (
+        """
+WITH RECURSIVE
+m AS (SELECT * FROM (VALUES """
+        + _bpe_vals
+        + f""") m(rank, lft, rgt)),
+mp AS MATERIALIZED (SELECT rank, {_us}||lft||{_us}||{_us}||rgt||{_us} AS pat,
+              {_us}||lft||rgt||{_us} AS rep FROM m),
+toks AS MATERIALIZED (
+  SELECT doc_id, i, ws[i] AS word
+  FROM (SELECT doc_id,
+               list_filter(
+                 regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}]+'),
+                 x -> x <> '') AS ws
+        FROM documents),
+       LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) g
+),
+init AS (SELECT word, {_bpe_init} AS s
+         FROM (SELECT DISTINCT word FROM toks)),
+st(word, s) AS (
+  SELECT word, s FROM init
+  UNION ALL
+  SELECT st.word, replace(st.s, mp.pat, mp.rep)
+  FROM st JOIN mp
+    ON contains(st.s, mp.pat)
+   AND mp.rank = (SELECT min(m2.rank) FROM mp m2 WHERE contains(st.s, m2.pat))
+),
+enc AS (
+  SELECT word,
+         replace(trim(s, {_us}), {_us}||{_us}, ' ') AS tok_str,
+         len(string_split(trim(s, {_us}), {_us}||{_us})) AS ntok
+  FROM st
+  WHERE NOT EXISTS (SELECT 1 FROM mp WHERE contains(st.s, mp.pat))
+)
+SELECT d.doc_id,
+       coalesce(agg.bpe_text, '') AS bpe_text,
+       CAST(coalesce(agg.n_bpe, 0) AS INT) AS n_bpe
+FROM documents d LEFT JOIN (
+  SELECT t.doc_id,
+         string_agg(e.tok_str, ' ' ORDER BY t.i) AS bpe_text,
+         sum(e.ntok) AS n_bpe
+  FROM toks t JOIN enc e USING (word)
+  GROUP BY t.doc_id
+) agg USING (doc_id)
+ORDER BY doc_id
+"""
+    )
 
     return sqls
 
