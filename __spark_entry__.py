@@ -1540,6 +1540,81 @@ def q_bpe_encode(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+_WARC_EPOCH0 = 1704067200  # 2024-01-01T00:00:00Z
+
+
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC parsing via the PRODUCTION parser (sources/warc.py
+    warc_records — per-file mapInPandas, Content-Length-driven record
+    walk, per-record/whole-file gzip member splitting).  The WARC bytes
+    are built by an INDEPENDENT inline muxer (same discipline as
+    tests/test_warc.py): docs group into 13 files, every 3rd doc becomes
+    an HTTP response record (44-byte deterministic header), the rest
+    conversion records; file_id%4==0 gzips per record, ==2 gzips the
+    whole file, others stay plain.  The DuckDB twin recomputes every
+    parsed field straight from the documents table."""
+    import gzip as _gzip
+    from datetime import datetime, timezone
+
+    import pandas as _pd
+
+    from bayard_spark.sources.warc import warc_records
+
+    docs = _docs(spark, sf_dir)
+
+    def mux_file(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        fid = int(pdf["file_id"].iloc[0])
+        parts = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            body = ("" if text is None else text).encode("utf-8")
+            ts = datetime.fromtimestamp(
+                _WARC_EPOCH0 + int(doc_id), tz=timezone.utc
+            )
+            date = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+            url = f"https://example.com/{int(doc_id)}"
+            if doc_id % 3 == 0:
+                payload = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                    + body
+                )
+                wtype, ctype = "response", "application/http; msgtype=response"
+            else:
+                payload = body
+                wtype, ctype = "conversion", "text/plain"
+            hdr = (
+                f"WARC/1.0\r\nWARC-Type: {wtype}\r\n"
+                f"WARC-Target-URI: {url}\r\nWARC-Date: {date}\r\n"
+                f"Content-Type: {ctype}\r\n"
+                f"Content-Length: {len(payload)}\r\n\r\n"
+            )
+            rec = hdr.encode("latin-1") + payload + b"\r\n\r\n"
+            parts.append(_gzip.compress(rec) if fid % 4 == 0 else rec)
+        blob = b"".join(parts)
+        if fid % 4 == 2:
+            blob = _gzip.compress(blob)
+        return _pd.DataFrame(
+            {"path": [f"mem://{fid}.warc"], "content": [blob]}
+        )
+
+    files = (
+        docs.select("doc_id", "text", (F.col("doc_id") % 13).alias("file_id"))
+        .groupBy("file_id")
+        .applyInPandas(mux_file, "path string, content binary")
+    )
+    recs = warc_records(files)
+    return recs.select(
+        F.regexp_extract("target_uri", r"/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "warc_type",
+        "content_length",
+        "http_status",
+        F.decode(F.col("body"), "UTF-8").alias("body_text"),
+        F.col("warc_date").cast("long").alias("ts"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "term_bm25": q_term_bm25,
@@ -1595,6 +1670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
+        "warc_roundtrip": q_warc_roundtrip,
         "emb_near_dup": q_emb_near_dup,
         "ann_cosine": q_ann_cosine,
         "events_daily": q_events_daily,
@@ -2839,6 +2915,19 @@ FROM documents d LEFT JOIN (
 ORDER BY doc_id
 """
     )
+
+    sqls["warc_roundtrip"] = f"""
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'response'
+            ELSE 'conversion' END AS warc_type,
+       CAST(octet_length(encode(text))
+            + CASE WHEN doc_id % 3 = 0 THEN 44 ELSE 0 END
+            AS BIGINT) AS content_length,
+       CASE WHEN doc_id % 3 = 0 THEN 200 ELSE NULL END AS http_status,
+       text AS body_text,
+       CAST({_WARC_EPOCH0} + doc_id AS BIGINT) AS ts
+FROM documents ORDER BY doc_id
+"""
 
     return sqls
 
