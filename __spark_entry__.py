@@ -1615,6 +1615,34 @@ def q_warc_roundtrip(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_bigram_logprob(spark, sf_dir):
+    """Interpolated-bigram corpus-LM quality signal via the PRODUCTION
+    operator (functions/textstats.bigram_logprob — JVM array-transform
+    pair stream, one prob-table join, pair-count-gated broadcast).  The
+    DuckDB twin replays counts, Jelinek-Mercer interpolation and the
+    per-doc mean; floats rounded to 6 both sides."""
+    from bayard_spark.functions.textstats import bigram_logprob
+
+    docs = _docs(spark, sf_dir)
+    out = bigram_logprob(docs)
+    return out.select(
+        "doc_id", F.round("logprob", 6).alias("logprob")
+    ).orderBy("doc_id")
+
+
+def q_train_order(spark, sf_dir):
+    """Deterministic training-order shuffle via the PRODUCTION operator
+    (functions/sampling.training_order) with the md5-portable hash
+    injected; DuckDB replays the (hash, id) total order bit-for-bit."""
+    from bayard_spark.functions.sampling import training_order
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    out = training_order(docs, seed=7, hash_fn=_pmd5)
+    return out.select(
+        "doc_id", F.col("_order_key").alias("order_key")
+    ).orderBy("order_key", "doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "term_bm25": q_term_bm25,
@@ -1671,6 +1699,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
         "warc_roundtrip": q_warc_roundtrip,
+        "bigram_logprob": q_bigram_logprob,
+        "train_order": q_train_order,
         "emb_near_dup": q_emb_near_dup,
         "ann_cosine": q_ann_cosine,
         "events_daily": q_events_daily,
@@ -2915,6 +2945,46 @@ FROM documents d LEFT JOIN (
 ORDER BY doc_id
 """
     )
+
+    _lam, _one_minus_lam = repr(0.8), repr(1.0 - 0.8)
+    sqls["bigram_logprob"] = f"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}\\p{{N}}]+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(ws) AS term FROM t),
+uni AS MATERIALIZED (SELECT term, count(*) AS c FROM tok GROUP BY term),
+tot AS (SELECT sum(c) AS T FROM uni),
+pr AS MATERIALIZED (
+  SELECT doc_id, ws[i - 1] AS prev, ws[i] AS cur
+  FROM t, LATERAL (SELECT unnest(generate_series(2, len(ws))) AS i) g
+  WHERE len(ws) >= 2
+),
+big AS (SELECT prev, cur, count(*) AS cvw FROM pr GROUP BY 1, 2),
+probs AS MATERIALIZED (
+  SELECT b.prev, b.cur,
+         ln({_lam} * b.cvw / u1.c + {_one_minus_lam} * u2.c / tot.T) AS logp
+  FROM big b JOIN uni u1 ON u1.term = b.prev
+             JOIN uni u2 ON u2.term = b.cur, tot
+),
+pd AS (
+  SELECT pr.doc_id, avg(p.logp) AS lp
+  FROM pr JOIN probs p ON p.prev = pr.prev AND p.cur = pr.cur
+  GROUP BY pr.doc_id
+)
+SELECT d.doc_id, round(pd.lp, 6) AS logprob
+FROM documents d LEFT JOIN pd USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+    sqls["train_order"] = """
+SELECT doc_id,
+       CAST(('0x' || substr(md5(doc_id::VARCHAR || chr(31) || '7'), 1, 15))
+            AS BIGINT) AS order_key
+FROM documents ORDER BY order_key, doc_id
+"""
 
     sqls["warc_roundtrip"] = f"""
 SELECT doc_id,

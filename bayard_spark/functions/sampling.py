@@ -90,3 +90,58 @@ def stratified_cap(
         .where(capc.isNull() | (F.col("_rn") <= capc))
         .drop("_rn")
     )
+
+
+def training_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    hash_fn=None,
+    num_files: int | None = None,
+) -> DataFrame:
+    """Deterministic global shuffle for training-example order.
+
+    Pretraining wants the corpus in a reproducible pseudo-random order —
+    `orderBy(rand())` changes run to run and with partitioning, so a
+    resumed or re-run job would see a different data order. This keys
+    every row with hash(id, seed); the total order (_order_key, id) is a
+    pure function of the rows. A different `seed` is a fresh epoch
+    permutation — epoch 2 is `training_order(df, seed=2)`, not a
+    reshuffle job over epoch 1's output.
+
+    Scale shape: with `num_files`, rows get `_file_id` by slicing the
+    hash's 64-bit key space into `num_files` EQUAL ANALYTIC ranges —
+    uniform hash in, balanced files out, and unlike repartitionByRange
+    there is NO sampled RangePartitioner (sampling-based partitioners
+    break resume determinism — the repo-wide rule). Write with
+    `.write.partitionBy("_file_id")` (or repartition on it first); the
+    global order is (_file_id, _order_key, id) because file slices are
+    key-range slices, so "file 0037, row 12" is a stable resume cursor.
+    The analytic split assumes the default xxhash64 key (full-range
+    64-bit); a custom narrow-range hash_fn should pass num_files=None.
+    Without `num_files` the keyed frame is returned sorted within
+    partitions — `orderBy("_order_key", id_col)` for a fully collected
+    order.
+    """
+    if hash_fn is None:
+        hash_fn = F.xxhash64
+    key = hash_fn(
+        F.concat_ws("\x1f", F.col(id_col).cast("string"), F.lit(str(seed)))
+    )
+    out = df.withColumn("_order_key", key)
+    if num_files is not None:
+        # file = floor((key_as_unsigned >> 32) * n / 2^32): exact integer
+        # arithmetic (no float, no sampling), monotone in _order_key
+        shifted = F.shiftright(F.col("_order_key"), 32) + F.lit(1 << 31)
+        out = out.withColumn(
+            "_file_id",
+            ((shifted * F.lit(int(num_files))) / F.lit(1 << 32))
+            .cast("long")
+            .cast("int"),
+        )
+        out = out.repartition(num_files, "_file_id")
+    return out.sortWithinPartitions(
+        *(["_file_id"] if num_files is not None else []),
+        "_order_key",
+        F.col(id_col),
+    )

@@ -199,6 +199,88 @@ def unigram_logprob(
     return docs.join(per_doc, "doc_id", "left").select("doc_id", "logprob")
 
 
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.8,
+    broadcast_pairs_max: int = 2_000_000,
+    pair_count: int | None = None,
+) -> DataFrame:
+    """Per-doc mean interpolated-bigram log-probability under the corpus's
+    own distribution — the next LM order up from :func:`unigram_logprob`
+    (CCNet trains a 5-gram KenLM for the same filter signal; a
+    Jelinek-Mercer-interpolated bigram is the shape that stays exactly
+    SQL-replayable):
+
+        p(w | v) = lam * c(v,w)/c(v) + (1-lam) * c(w)/T
+
+    averaged as ``avg(ln p)`` over token positions 2..n.  Docs with fewer
+    than two tokens emit NULL (the unigram NULL rule — 0.0 would rank
+    them as maximal quality).
+
+    Spark-first shape: bigram pairs come from a JVM array transform over
+    the token array (NO self-join, no window shuffle — the pair stream is
+    one explode); counts are two map-side-combined groupBys; both count
+    tables fold into ONE probability table keyed (prev, cur), so the
+    token stream takes a single join.  That join is broadcast only when
+    the measured DISTINCT-pair count fits ``broadcast_pairs_max`` — a
+    web-scale bigram table (10^9+ pairs) shuffle-joins instead; callers
+    that know the cardinality pass ``pair_count`` to skip the measuring
+    pass (same contract as unigram_logprob's ``vocab_count``).
+    """
+    toks = _tokens_col(text_col)
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("ws"))
+    # ascending-sequence guard (sequence(2, 1) DESCENDS in Spark — the
+    # _shingles_df gotcha): build [2..n] safely, then pair (ws[i-1], ws[i])
+    idx = F.filter(
+        F.sequence(F.lit(2), F.greatest(F.size("ws"), F.lit(2))),
+        lambda i: i <= F.size("ws"),
+    )
+    pairs = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at("ws", i - 1).alias("prev"),
+                    F.element_at("ws", i).alias("cur"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.prev", "p.cur")
+
+    tok = base.select("doc_id", F.explode("ws").alias("term"))
+    uni = tok.groupBy("term").agg(F.count("*").alias("c"))
+    total = uni.agg(F.sum("c").alias("T"))
+    big = pairs.groupBy("prev", "cur").agg(F.count("*").alias("cvw"))
+    u_prev = uni.select(F.col("term").alias("prev"), F.col("c").alias("cv"))
+    u_cur = uni.select(F.col("term").alias("cur"), F.col("c").alias("cw"))
+    probs = (
+        big.join(u_prev, "prev")
+        .join(u_cur, "cur")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "prev",
+            "cur",
+            F.log(
+                F.lit(lam) * F.col("cvw") / F.col("cv")
+                + F.lit(1.0 - lam) * F.col("cw") / F.col("T")
+            ).alias("logp"),
+        )
+    )
+    n_pairs = pair_count if pair_count is not None else big.count()
+    if n_pairs <= broadcast_pairs_max:
+        probs = F.broadcast(probs)
+    per_doc = (
+        pairs.join(probs, ["prev", "cur"])
+        .groupBy("doc_id")
+        .agg(F.avg("logp").alias("logprob"))
+    )
+    docs = df.select(F.col(id_col).alias("doc_id"))
+    return docs.join(per_doc, "doc_id", "left").select("doc_id", "logprob")
+
+
 CLS_WEIGHTS_BROADCAST_MAX = 2_000_000
 
 
