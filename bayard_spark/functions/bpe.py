@@ -225,10 +225,11 @@ def bpe_encode(
 ) -> DataFrame:
     """Append ``out_col: array<string>`` of BPE tokens per document.
 
-    mapInPandas kernel; per-batch unique-word memo means the Python merge
-    loop runs once per DISTINCT word in the batch (vocabulary-sublinear on
-    Zipfian text), and the token stream is reassembled with pandas/numpy
-    ops only.  NULL text encodes to NULL; token-less text to [].
+    mapInPandas kernel; a per-TASK unique-word memo (shared across the
+    task's batches, bounded by the partition's distinct vocabulary) means
+    the Python merge loop runs once per distinct word — vocabulary-
+    sublinear on Zipfian text.  NULL text encodes to NULL; token-less
+    text to [].
     """
     ranks = {p: i for i, p in enumerate(merges)}
     in_schema = docs.schema
@@ -245,7 +246,7 @@ def bpe_encode(
         memo: dict[str, list[str]] = {}
 
         def enc_doc(text):
-            if text is None:
+            if not isinstance(text, str):  # None, or NaN from an all-null batch
                 return None
             out: list[str] = []
             for w in tok_re.split(text.lower()):

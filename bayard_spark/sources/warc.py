@@ -100,11 +100,12 @@ def _parse_warc_date(s: str | None):
         )
     except ValueError:
         try:
-            return datetime.fromisoformat(s.replace("Z", "+00:00")).astimezone(
-                timezone.utc
-            )
+            dt = datetime.fromisoformat(s.replace("Z", "+00:00"))
         except ValueError:
             return None
+        if dt.tzinfo is None:  # WARC dates are UTC; never assume local tz
+            return dt.replace(tzinfo=timezone.utc)
+        return dt.astimezone(timezone.utc)
 
 
 def _parse_headers(block: bytes) -> dict[str, str]:
