@@ -1610,7 +1610,9 @@ def q_warc_roundtrip(spark, sf_dir):
         "warc_type",
         "content_length",
         "http_status",
-        F.decode(F.col("body"), "UTF-8").alias("body_text"),
+        F.decode(F.coalesce(F.col("body"), F.col("payload")), "UTF-8").alias(
+            "body_text"
+        ),
         F.col("warc_date").cast("long").alias("ts"),
     ).orderBy("doc_id")
 
@@ -2934,7 +2936,10 @@ enc AS (
 )
 SELECT d.doc_id,
        coalesce(agg.bpe_text, '') AS bpe_text,
-       CAST(coalesce(agg.n_bpe, 0) AS INT) AS n_bpe
+       -- NULL text -> NULL token count (concat_ws still yields '' but
+       -- size(NULL array) is NULL on the Spark side); token-less -> 0
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE CAST(coalesce(agg.n_bpe, 0) AS INT) END AS n_bpe
 FROM documents d LEFT JOIN (
   SELECT t.doc_id,
          string_agg(e.tok_str, ' ' ORDER BY t.i) AS bpe_text,
@@ -2986,15 +2991,17 @@ SELECT doc_id,
 FROM documents ORDER BY order_key, doc_id
 """
 
+    # coalesce(text, '') mirrors the muxer, which writes b'' for a NULL
+    # text — the parsed record really has an empty body, not a NULL one
     sqls["warc_roundtrip"] = f"""
 SELECT doc_id,
        CASE WHEN doc_id % 3 = 0 THEN 'response'
             ELSE 'conversion' END AS warc_type,
-       CAST(octet_length(encode(text))
+       CAST(octet_length(encode(coalesce(text, '')))
             + CASE WHEN doc_id % 3 = 0 THEN 44 ELSE 0 END
             AS BIGINT) AS content_length,
        CASE WHEN doc_id % 3 = 0 THEN 200 ELSE NULL END AS http_status,
-       text AS body_text,
+       coalesce(text, '') AS body_text,
        CAST({_WARC_EPOCH0} + doc_id AS BIGINT) AS ts
 FROM documents ORDER BY doc_id
 """

@@ -18,12 +18,12 @@ re-expressed for Spark:
   memory to O(max_word_types), NOT O(corpus).
 - ``bpe_encode``: applies a learned merge table to every document.  The
   per-word merge loop is not expressible as a fixed-depth column
-  expression, so it runs in ``mapInPandas`` with a PER-BATCH UNIQUE-WORD
-  memo: each distinct word is encoded once per batch and broadcast back
-  over the token stream with numpy indexing — work is O(unique words),
-  sublinear in rows for natural (Zipfian) text.  The merge table itself
-  rides the task closure (≤ num_merges rows — a 32k-merge vocabulary is a
-  few hundred KB).
+  expression, so it runs in ``mapInPandas`` with a capped PER-TASK
+  UNIQUE-WORD memo: the Python merge loop runs once per distinct word
+  (Zipf-sublinear), while the unavoidable O(corpus tokens) fan-out stays
+  C-level (findall / factorize / numpy indexing / chain — no per-token
+  Python bytecode).  The merge table itself rides the task closure
+  (≤ num_merges rows — a 32k-merge vocabulary is a few hundred KB).
 
 Determinism contract (shared with the DuckDB twin in __spark_entry__.py):
 
@@ -45,6 +45,7 @@ from __future__ import annotations
 
 from collections import Counter, defaultdict
 from collections.abc import Iterator
+from itertools import chain
 
 import numpy as np
 import pandas as pd
@@ -52,7 +53,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-TOKEN_SPLIT = r"[^\p{L}\p{N}]+"
+from bayard_spark.functions.textstats import TOKEN_SPLIT
+
 EOW = "</w>"
 
 
@@ -222,46 +224,74 @@ def bpe_encode(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     out_col: str = "bpe_tokens",
+    memo_max: int = 4_000_000,
 ) -> DataFrame:
     """Append ``out_col: array<string>`` of BPE tokens per document.
 
-    mapInPandas kernel; a per-TASK unique-word memo (shared across the
-    task's batches, bounded by the partition's distinct vocabulary) means
-    the Python merge loop runs once per distinct word — vocabulary-
-    sublinear on Zipfian text.  NULL text encodes to NULL; token-less
-    text to [].
+    mapInPandas kernel.  The Python MERGE LOOP runs only once per
+    distinct word (a per-task memo, capped at ``memo_max`` entries so an
+    adversarial partition — URL soup, hex ids — cannot OOM the worker;
+    past the cap words still encode, they just stop being cached).  The
+    per-token work, which is inherently O(corpus tokens) because the
+    output is, stays at C level: pandas ``str.findall`` tokenization,
+    ``pd.factorize`` for the word→code map, numpy fancy indexing to fan
+    encoded lists back over the token stream, and ``itertools.chain`` to
+    assemble each doc's array — no per-token Python bytecode.  NULL text
+    encodes to NULL; token-less text to [].
     """
     ranks = {p: i for i, p in enumerate(merges)}
     in_schema = docs.schema
     out_schema = T.StructType(
         list(in_schema.fields) + [T.StructField(out_col, T.ArrayType(T.StringType()))]
     )
-    import re
-
-    # Python-re twin of TOKEN_SPLIT: \w is L* ∪ N* ∪ {_}, so [\W_]+ strips
-    # the underscore back out and matches Java's [^\p{L}\p{N}]+.
-    tok_re = re.compile(r"[\W_]+", re.UNICODE)
+    # Python-re twin of TOKEN_SPLIT ([^\p{L}\p{N}]+ as a SPLIT): \w is
+    # L* ∪ N* ∪ {_}, so the TOKEN pattern [^\W_]+ (word chars minus the
+    # underscore) captures exactly the non-empty split pieces.
+    tok_pat = r"[^\W_]+"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         memo: dict[str, list[str]] = {}
 
-        def enc_doc(text):
-            if not isinstance(text, str):  # None, or NaN from an all-null batch
-                return None
-            out: list[str] = []
-            for w in tok_re.split(text.lower()):
-                if not w:
-                    continue
-                got = memo.get(w)
-                if got is None:
-                    got = list(encode_word(w, ranks))
+        def enc_unique(w: str) -> list[str]:
+            got = memo.get(w)
+            if got is None:
+                got = list(encode_word(w, ranks))
+                if len(memo) < memo_max:
                     memo[w] = got
-                out.extend(got)
-            return out
+            return got
 
         for pdf in batches:
+            texts = pdf[text_col]
+            notnull = texts.notna().to_numpy()
+            out = np.empty(len(pdf), dtype=object)
+            if notnull.any():
+                words = (
+                    texts[notnull].str.lower().str.findall(tok_pat)
+                )  # C-regex tokenization
+                counts = words.str.len().to_numpy()
+                flat = (
+                    list(chain.from_iterable(words))
+                    if counts.sum()
+                    else []
+                )
+                codes, uniques = pd.factorize(
+                    pd.Series(flat, dtype=object), use_na_sentinel=False
+                ) if flat else (np.array([], dtype=np.int64), [])
+                enc_arr = np.empty(len(uniques), dtype=object)
+                for i, u in enumerate(uniques):  # merge loop: uniques only
+                    enc_arr[i] = enc_unique(u)
+                tok_enc = enc_arr[codes]  # numpy fan-out over the stream
+                bounds = np.concatenate(([0], np.cumsum(counts)))
+                docs_out = [
+                    list(chain.from_iterable(tok_enc[s:e]))
+                    for s, e in zip(bounds[:-1], bounds[1:])
+                ]
+                out_nn = np.empty(len(docs_out), dtype=object)
+                out_nn[:] = docs_out
+                out[notnull] = out_nn
+            out[~notnull] = None
             res = pdf.copy()
-            res[out_col] = pdf[text_col].map(enc_doc)
+            res[out_col] = out
             yield res
 
     return docs.mapInPandas(kernel, out_schema)

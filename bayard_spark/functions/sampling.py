@@ -130,14 +130,15 @@ def training_order(
     )
     out = df.withColumn("_order_key", key)
     if num_files is not None:
-        # file = floor((key_as_unsigned >> 32) * n / 2^32): exact integer
-        # arithmetic (no float, no sampling), monotone in _order_key
+        if not 0 < num_files <= (1 << 30):
+            raise ValueError("num_files must be in (0, 2^30]")
+        # file = (key_as_unsigned >> 32) * n >> 32: pure long arithmetic
+        # (shifted < 2^32, n <= 2^30 — the product can't overflow; no
+        # float rounding, no sampled RangePartitioner), monotone in key
         shifted = F.shiftright(F.col("_order_key"), 32) + F.lit(1 << 31)
         out = out.withColumn(
             "_file_id",
-            ((shifted * F.lit(int(num_files))) / F.lit(1 << 32))
-            .cast("long")
-            .cast("int"),
+            F.shiftright(shifted * F.lit(int(num_files)), 32).cast("int"),
         )
         out = out.repartition(num_files, "_file_id")
     return out.sortWithinPartitions(

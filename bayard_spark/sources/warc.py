@@ -188,9 +188,14 @@ def parse_warc_file(raw: bytes, path: str, strict: bool = False) -> list[dict]:
         payload = raw[body_start : body_start + clen]
         wtype = headers.get("warc-type")
         ctype = headers.get("content-type")
-        status, http_ct, body = (None, None, payload)
+        # body is the HTTP message body for response records and NULL
+        # otherwise — duplicating payload bytes into body would double the
+        # Arrow footprint of every ~GiB WET archive for no information
+        status, http_ct, body = (None, None, None)
         if wtype == "response" and (ctype or "").startswith("application/http"):
             status, http_ct, body = _split_http(payload)
+            if status is None:  # unsplittable HTTP message: no body column
+                body = None
         records.append(
             {
                 "path": path,

@@ -90,7 +90,7 @@ class TestParse:
         assert resp["warc_date"].isoformat() == "2024-03-05T12:34:56+00:00"
         conv = recs[2]
         assert conv["http_status"] is None
-        assert conv["body"] == conv["payload"]
+        assert conv["body"] is None  # body only for split HTTP responses
         assert conv["payload"].decode("utf-8") == "hello extracted café"
 
     def test_per_record_gzip_members(self):
