@@ -1645,6 +1645,26 @@ def q_train_order(spark, sf_dir):
     ).orderBy("order_key", "doc_id")
 
 
+def q_corpus_report(spark, sf_dir):
+    """One-row corpus health summary via the PRODUCTION operator
+    (functions/textstats.corpus_report) over a corpus with PLANTED
+    NULLs, whitespace-only docs and a boilerplate dup group (the
+    word-soup corpus has none of those naturally — the streaming_dedup
+    gate-design lesson), so every counter actually fires."""
+    from bayard_spark.functions.textstats import corpus_report
+
+    docs = _docs(spark, sf_dir)
+    planted = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 23 == 0, F.lit(None).cast("string"))
+        .when(F.col("doc_id") % 10 == 0, F.lit("dup text boiler"))
+        .when(F.col("doc_id") % 17 == 0, F.lit("  "))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return corpus_report(planted)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "term_bm25": q_term_bm25,
@@ -1703,6 +1723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "bigram_logprob": q_bigram_logprob,
         "train_order": q_train_order,
+        "corpus_report": q_corpus_report,
         "emb_near_dup": q_emb_near_dup,
         "ann_cosine": q_ann_cosine,
         "events_daily": q_events_daily,
@@ -2982,6 +3003,59 @@ pd AS (
 SELECT d.doc_id, round(pd.lp, 6) AS logprob
 FROM documents d LEFT JOIN pd USING (doc_id)
 ORDER BY d.doc_id
+"""
+
+    sqls["corpus_report"] = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 23 = 0 THEN NULL
+              WHEN doc_id % 10 = 0 THEN 'dup text boiler'
+              WHEN doc_id % 17 = 0 THEN '  '
+              ELSE text END AS text
+  FROM documents
+),
+t AS MATERIALIZED (
+  SELECT doc_id, text,
+         CASE WHEN text IS NULL THEN NULL
+              ELSE len(list_filter(
+                     regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'),
+                     x -> x <> '')) END AS tok_n,
+         length(text) AS chr_n
+  FROM d
+),
+base AS (
+  SELECT count(*) AS n_docs,
+         coalesce(sum(CASE WHEN text IS NULL THEN 1 END), 0) AS n_null_text,
+         coalesce(sum(CASE WHEN text IS NOT NULL AND trim(text) = ''
+                           THEN 1 END), 0) AS n_empty_text,
+         coalesce(sum(tok_n), 0) AS total_tokens,
+         round(avg(CASE WHEN tok_n > 0 THEN tok_n END), 6) AS avg_tokens,
+         coalesce(sum(chr_n), 0) AS total_chars
+  FROM t
+),
+dups AS (
+  SELECT count(*) AS n_distinct_texts,
+         coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS n_dup_docs
+  FROM (SELECT text, count(*) AS c FROM d
+        WHERE text IS NOT NULL GROUP BY text)
+),
+words AS (
+  SELECT count(DISTINCT w) AS n_distinct_words
+  FROM (SELECT unnest(list_filter(
+                 regexp_split_to_array(lower(text), '[^\\p{L}\\p{N}]+'),
+                 x -> x <> '')) AS w
+        FROM d WHERE text IS NOT NULL)
+)
+SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_null_text AS BIGINT) AS n_null_text,
+       CAST(n_empty_text AS BIGINT) AS n_empty_text,
+       CAST(total_tokens AS BIGINT) AS total_tokens,
+       avg_tokens,
+       CAST(total_chars AS BIGINT) AS total_chars,
+       CAST(n_distinct_texts AS BIGINT) AS n_distinct_texts,
+       CAST(n_dup_docs AS BIGINT) AS n_dup_docs,
+       CAST(n_distinct_words AS BIGINT) AS n_distinct_words
+FROM base, dups, words
 """
 
     sqls["train_order"] = """

@@ -219,12 +219,36 @@ def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> tuple[str, ...]
     return syms
 
 
+def bpe_vocab(
+    merges: list[tuple[str, str]], alphabet: list[str] | None = None
+) -> dict[str, int]:
+    """Deterministic token→id table: the (sorted) base alphabet + ``</w>``
+    first, then every merge product in rank order — the GPT-2-style vocab
+    layout, reproducible from (merges, alphabet) alone with no extra
+    state to persist."""
+    if alphabet is None:
+        alphabet = [chr(c) for c in range(ord("a"), ord("z") + 1)] + [
+            str(d) for d in range(10)
+        ]
+    vocab: dict[str, int] = {}
+    for sym in sorted(set(alphabet) | {EOW}):
+        vocab[sym] = len(vocab)
+    for l, r in merges:
+        tok = l + r
+        if tok not in vocab:
+            vocab[tok] = len(vocab)
+    return vocab
+
+
 def bpe_encode(
     docs: DataFrame,
     merges: list[tuple[str, str]],
     text_col: str = "text",
     out_col: str = "bpe_tokens",
     memo_max: int = 4_000_000,
+    vocab: dict[str, int] | None = None,
+    ids_col: str = "bpe_ids",
+    oov_id: int = -1,
 ) -> DataFrame:
     """Append ``out_col: array<string>`` of BPE tokens per document.
 
@@ -238,12 +262,17 @@ def bpe_encode(
     encoded lists back over the token stream, and ``itertools.chain`` to
     assemble each doc's array — no per-token Python bytecode.  NULL text
     encodes to NULL; token-less text to [].
+
+    With ``vocab`` (see :func:`bpe_vocab`) an ``ids_col: array<int>``
+    rides along — tokens outside the vocab map to ``oov_id`` (possible
+    only when the corpus alphabet outgrows the vocab's).
     """
     ranks = {p: i for i, p in enumerate(merges)}
     in_schema = docs.schema
-    out_schema = T.StructType(
-        list(in_schema.fields) + [T.StructField(out_col, T.ArrayType(T.StringType()))]
-    )
+    extra = [T.StructField(out_col, T.ArrayType(T.StringType()))]
+    if vocab is not None:
+        extra.append(T.StructField(ids_col, T.ArrayType(T.IntegerType())))
+    out_schema = T.StructType(list(in_schema.fields) + extra)
     # Python-re twin of TOKEN_SPLIT ([^\p{L}\p{N}]+ as a SPLIT): \w is
     # L* ∪ N* ∪ {_}, so the TOKEN pattern [^\W_]+ (word chars minus the
     # underscore) captures exactly the non-empty split pieces.
@@ -264,6 +293,7 @@ def bpe_encode(
             texts = pdf[text_col]
             notnull = texts.notna().to_numpy()
             out = np.empty(len(pdf), dtype=object)
+            out_ids = np.empty(len(pdf), dtype=object)
             if notnull.any():
                 words = (
                     texts[notnull].str.lower().str.findall(tok_pat)
@@ -278,20 +308,35 @@ def bpe_encode(
                     pd.Series(flat, dtype=object), use_na_sentinel=False
                 ) if flat else (np.array([], dtype=np.int64), [])
                 enc_arr = np.empty(len(uniques), dtype=object)
+                ids_arr = np.empty(len(uniques), dtype=object)
                 for i, u in enumerate(uniques):  # merge loop: uniques only
-                    enc_arr[i] = enc_unique(u)
+                    toks = enc_unique(u)
+                    enc_arr[i] = toks
+                    if vocab is not None:
+                        ids_arr[i] = [vocab.get(t, oov_id) for t in toks]
                 tok_enc = enc_arr[codes]  # numpy fan-out over the stream
                 bounds = np.concatenate(([0], np.cumsum(counts)))
+                spans = list(zip(bounds[:-1], bounds[1:]))
                 docs_out = [
-                    list(chain.from_iterable(tok_enc[s:e]))
-                    for s, e in zip(bounds[:-1], bounds[1:])
+                    list(chain.from_iterable(tok_enc[s:e])) for s, e in spans
                 ]
                 out_nn = np.empty(len(docs_out), dtype=object)
                 out_nn[:] = docs_out
                 out[notnull] = out_nn
+                if vocab is not None:
+                    id_enc = ids_arr[codes]
+                    ids_out = [
+                        list(chain.from_iterable(id_enc[s:e])) for s, e in spans
+                    ]
+                    ids_nn = np.empty(len(ids_out), dtype=object)
+                    ids_nn[:] = ids_out
+                    out_ids[notnull] = ids_nn
             out[~notnull] = None
             res = pdf.copy()
             res[out_col] = out
+            if vocab is not None:
+                out_ids[~notnull] = None
+                res[ids_col] = out_ids
             yield res
 
     return docs.mapInPandas(kernel, out_schema)

@@ -281,6 +281,69 @@ def bigram_logprob(
     return docs.join(per_doc, "doc_id", "left").select("doc_id", "logprob")
 
 
+def corpus_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words: bool = True,
+) -> DataFrame:
+    """One-row corpus health summary — the numbers an operator checks
+    before and after every pipeline stage (did dedup drop what it
+    should? how much text survived the filters?):
+
+    n_docs, n_null_text, n_empty_text, total_tokens, avg_tokens (over
+    docs WITH tokens; 6dp), total_chars, n_distinct_words,
+    n_distinct_texts, n_dup_docs (docs sharing a non-null text with at
+    least one other).
+
+    Scale shape: three independent aggregations — a narrow per-doc pass
+    (no shuffle beyond the final 1-row agg), a text groupBy for dup
+    stats, and an explode+distinct for the vocabulary — each map-side
+    combined; the three 1-row results cross-join at the driver.  At
+    100 TB the vocabulary pass dominates; pass ``words=False`` to skip
+    it (n_distinct_words comes back NULL).
+    """
+    toks = _tokens_col(text_col)
+    per_doc = df.select(
+        F.col(text_col).alias("text"),
+        # size(NULL) is -1 under legacy sizeOfNull — keep NULL text NULL
+        F.when(F.col(text_col).isNotNull(), F.size(toks)).alias("tok_n"),
+        F.length(text_col).alias("chr_n"),
+    )
+    base = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("text").isNull().cast("long")).alias("n_null_text"),
+        F.sum(
+            (F.col("text").isNotNull() & (F.trim("text") == "")).cast("long")
+        ).alias("n_empty_text"),
+        F.coalesce(F.sum("tok_n"), F.lit(0)).alias("total_tokens"),
+        F.round(
+            F.avg(F.when(F.col("tok_n") > 0, F.col("tok_n"))), 6
+        ).alias("avg_tokens"),
+        F.coalesce(F.sum("chr_n"), F.lit(0)).alias("total_chars"),
+    )
+    dups = (
+        df.where(F.col(text_col).isNotNull())
+        .groupBy(text_col)
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.count("*").alias("n_distinct_texts"),
+            F.coalesce(
+                F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0)
+            ).alias("n_dup_docs"),
+        )
+    )
+    if words:
+        wdf = df.select(F.explode(toks).alias("w")).agg(
+            F.countDistinct("w").alias("n_distinct_words")
+        )
+    else:
+        wdf = df.sparkSession.range(1).select(
+            F.lit(None).cast("long").alias("n_distinct_words")
+        )
+    return base.crossJoin(F.broadcast(dups)).crossJoin(F.broadcast(wdf))
+
+
 CLS_WEIGHTS_BROADCAST_MAX = 2_000_000
 
 

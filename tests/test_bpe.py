@@ -221,3 +221,27 @@ class TestSpark:
             (1, "a", "b"),
             (2, "ab", EOW),
         ]
+
+    def test_encode_ids(self, spark, corpus):
+        from bayard_spark.functions.bpe import bpe_vocab
+
+        merges = train_bpe(corpus, 12)
+        vocab = bpe_vocab(merges)
+        # layout: sorted base alphabet + </w> first, merge products after
+        assert vocab[EOW] < 37 and len(vocab) == 37 + len(
+            {l + r for l, r in merges}
+        )
+        out = {
+            r.doc_id: (r.bpe_tokens, r.bpe_ids)
+            for r in bpe_encode(corpus, merges, vocab=vocab).collect()
+        }
+        for doc_id, (toks, ids) in out.items():
+            if toks is None:
+                assert ids is None
+            else:
+                assert ids == [vocab.get(t, -1) for t in toks]
+        # every token of this corpus is in-vocab (alnum alphabet)
+        flat = [
+            i for _, ids in out.values() if ids is not None for i in ids
+        ]
+        assert flat and all(i >= 0 for i in flat)

@@ -95,6 +95,38 @@ class TestBigramLogprob:
         )
 
 
+class TestCorpusReport:
+    def test_hand_computed(self, spark):
+        from bayard_spark.functions.textstats import corpus_report
+
+        rows = [
+            (0, "the cat sat"),       # 3 tokens
+            (1, "the cat sat"),       # dup of 0
+            (2, None),                # null
+            (3, "   "),               # empty (0 tokens)
+            (4, "dog! dog, dog"),     # 3 tokens
+            (5, ""),                  # empty
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        r = corpus_report(df).collect()[0]
+        assert r.n_docs == 6
+        assert r.n_null_text == 1
+        assert r.n_empty_text == 2
+        assert r.total_tokens == 9
+        assert r.avg_tokens == 3.0
+        assert r.total_chars == len("the cat sat") * 2 + 3 + len("dog! dog, dog")
+        assert r.n_distinct_texts == 4  # dup text counts once; null excluded
+        assert r.n_dup_docs == 2
+        assert r.n_distinct_words == 4  # the cat sat dog
+
+    def test_words_skippable(self, spark):
+        from bayard_spark.functions.textstats import corpus_report
+
+        df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+        r = corpus_report(df, words=False).collect()[0]
+        assert r.n_distinct_words is None and r.total_tokens == 2
+
+
 class TestTrainingOrder:
     @pytest.fixture(scope="class")
     def ids(self, spark):
