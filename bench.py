@@ -551,6 +551,75 @@ def run_large(corpus: str) -> dict:
         spark.stop()
 
 
+SKIP_PIPELINE = os.environ.get("SPARK_GRAFT_SKIP_PIPELINE", "") == "1"
+# the corpus-LM/bigram interpolation fixed merge table would be corpus-fit;
+# the bench trains a real one on the corpus itself (fast: the vocab is tiny)
+PIPELINE_BPE_MERGES = int(os.environ.get("SPARK_GRAFT_BPE_MERGES", "200"))
+
+
+def run_pipeline_bench(corpus: str) -> dict:
+    """Training-data-path throughput on the large corpus (report-only):
+
+    1. cleaning chain (mojibake -> pii -> paragraph dedup -> min-token
+       filter) — the composed clean_pipeline, forced by a 1-row agg;
+    2. BPE: train on the corpus (distributed word count + driver merge
+       loop), then encode every doc, forced by sum(size(tokens)).
+
+    One timed pass each — these are long all-corpus jobs, not
+    latency-band draws, so run-to-run noise is amortized.
+    """
+    from pyspark.sql import functions as F
+
+    from bayard_spark.functions.bpe import bpe_encode, train_bpe
+    from bayard_spark.functions.pipeline import clean_pipeline
+
+    spark = make_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(corpus)
+    n_docs = docs.count()
+
+    t0 = time.time()
+    cleaned, _ = clean_pipeline(
+        docs,
+        [
+            ("mojibake", {}),
+            ("pii", {}),
+            ("para_dedup", {"sep": "\n", "max_count": 2}),
+            ("min_tokens", {"n": 1}),
+        ],
+        id_col="url",
+    )
+    survivors, total_chars = cleaned.agg(
+        F.count("*"), F.sum(F.length("text"))
+    ).collect()[0]
+    clean_s = time.time() - t0
+
+    t1 = time.time()
+    merges = train_bpe(docs, PIPELINE_BPE_MERGES)
+    train_s = time.time() - t1
+    t2 = time.time()
+    total_tokens = (
+        bpe_encode(docs, merges)
+        .agg(F.sum(F.size("bpe_tokens")))
+        .collect()[0][0]
+    )
+    encode_s = time.time() - t2
+    spark.stop()
+    return {
+        "n_docs": n_docs,
+        "clean_s": round(clean_s, 2),
+        "clean_docs_per_sec": round(n_docs / clean_s, 1),
+        "survivors": survivors,
+        "clean_chars": int(total_chars),
+        "bpe_train_s": round(train_s, 2),
+        "bpe_merges": PIPELINE_BPE_MERGES,
+        "bpe_encode_s": round(encode_s, 2),
+        "bpe_tokens": int(total_tokens),
+        "bpe_tokens_per_sec": round(total_tokens / encode_s, 1),
+        "bpe_docs_per_sec": round(n_docs / encode_s, 1),
+    }
+
+
 def main() -> None:
     t_total = time.time()
     hi = run_build(CPUS)
@@ -562,11 +631,15 @@ def main() -> None:
     if not SKIP_LARGE:
         large = run_large(materialize_scaling_corpus())
 
+    pipe = None
+    if not SKIP_PIPELINE:
+        pipe = run_pipeline_bench(materialize_scaling_corpus())
+
     scaling = None
     if not SKIP_SCALING:
         corpus = materialize_scaling_corpus()
         scaling, lo, hi2 = run_scaling(corpus)
-        write_baseline_md(hi2, lo, scaling, qstats, large)
+        write_baseline_md(hi2, lo, scaling, qstats, large, pipe)
     shutil.rmtree(root, ignore_errors=True)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -591,6 +664,7 @@ def main() -> None:
             "capacity_curve": qstats.get("capacity_curve", []),
         },
         "large": large,
+        "pipeline": pipe,
         "scaling": scaling,
     }
     print(json.dumps(out))
@@ -651,7 +725,8 @@ hot_df_threshold does.
 
 
 def write_baseline_md(
-    hi: dict, lo: dict, scaling: dict, qstats: dict, large: dict | None = None
+    hi: dict, lo: dict, scaling: dict, qstats: dict, large: dict | None = None,
+    pipe: dict | None = None,
 ) -> None:
     os.makedirs("BENCH", exist_ok=True)
     prev = _prev_round_queries()
@@ -748,7 +823,7 @@ p95 {qstats['p95_s']} s, {qstats['qps']} QPS sequential,
 **{qstats['concurrent_qps']} QPS with {qstats['concurrent_clients']}
 concurrent clients** (one shared engine snapshot; Spark schedules the
 concurrent actions onto idle cores — serving capacity, not latency).
-{curve_section(qstats)}{large_section(large)}{delta}{skew_section()}"""
+{curve_section(qstats)}{large_section(large)}{pipeline_section(pipe)}{delta}{skew_section()}"""
         )
 
 
@@ -789,6 +864,26 @@ def curve_section(qstats: dict) -> str:
 |---|---|---|
 {rows}
 {knee}"""
+
+
+def pipeline_section(pipe: dict | None) -> str:
+    if not pipe:
+        return ""
+    return f"""
+
+## Training-data-path throughput ({pipe['n_docs']} docs)
+
+One timed all-corpus pass each (long jobs, not latency draws):
+
+| stage | wall s | rate |
+|---|---|---|
+| clean chain (mojibake → pii → para-dedup → min-tokens) | {pipe['clean_s']} | **{pipe['clean_docs_per_sec']} docs/s** |
+| BPE train ({pipe['bpe_merges']} merges) | {pipe['bpe_train_s']} | distributed word count + driver loop |
+| BPE encode ({pipe['bpe_tokens']} tokens) | {pipe['bpe_encode_s']} | **{pipe['bpe_tokens_per_sec']:.0f} tokens/s** ({pipe['bpe_docs_per_sec']} docs/s) |
+
+Survivors {pipe['survivors']}/{pipe['n_docs']} ({pipe['clean_chars']} chars
+kept). The clean chain is JVM end to end; BPE encode is the one Python
+stage (mapInPandas: unique-word memo + C-level fan-out)."""
 
 
 def large_section(large: dict | None) -> str:
