@@ -19,6 +19,11 @@ Compression: Common Crawl gzips each record as its OWN gzip member;
 ``zlib.decompressobj`` splits members in streaming fashion.  A whole-file
 single-member gzip and plain uncompressed WARC parse identically — the
 record walk runs over the concatenated decompressed stream either way.
+The walk itself is INCREMENTAL (``iter_warc_records``): decompression and
+record scanning interleave over a rolling, compacted buffer, and
+``warc_records`` emits Arrow batches as records complete — peak task
+memory is the compressed input plus one batch, never the ~4× inflated
+archive.
 
 Error contract: malformed input NEVER yields silent garbage.  In the
 default tolerant mode every record parsed before the corruption point is
@@ -62,6 +67,62 @@ class WarcParseError(ValueError):
     """Typed parse failure (strict mode)."""
 
 
+STREAM_CHUNK = 1 << 20  # raw-input granularity fed to the decompressor
+MAX_HEADER = 1 << 16  # a WARC header block past 64 KB is malformed
+_COMPACT_AT = 8 << 20  # drop consumed buffer prefix beyond this
+
+
+def _chunks_of(buf, size: int = STREAM_CHUNK):
+    mv = memoryview(buf)
+    for i in range(0, len(mv), size):
+        yield mv[i : i + size]
+
+
+def _decompressed_stream(raw_chunks):
+    """Yield decompressed chunks of a (possibly multi-member-gzip) stream.
+
+    The generator's RETURN value is an error string (corrupt/truncated
+    member) or None — drive it with next() and catch StopIteration.value.
+    """
+    it = iter(raw_chunks)
+    head = b""
+    for c in it:
+        head += bytes(c)
+        if len(head) >= 2:
+            break
+    if head[:2] != GZIP_MAGIC:
+        if head:
+            yield head
+        for c in it:
+            yield c
+        return None
+    d = zlib.decompressobj(wbits=31)
+    fed = 0
+    data: bytes | memoryview = head
+    while True:
+        if len(data):
+            fed += len(data)
+            try:
+                out = d.decompress(data)
+            except zlib.error as ex:
+                return f"gzip member: {ex}"
+            if out:
+                yield out
+            if d.eof:
+                data = d.unused_data
+                d = zlib.decompressobj(wbits=31)
+                fed = 0
+                continue
+            data = b""
+        else:
+            nxt = next(it, None)
+            if nxt is None:
+                if fed:
+                    return "gzip member truncated"
+                return None
+            data = nxt
+
+
 def _gunzip_tolerant(buf: bytes) -> tuple[bytes, str | None]:
     """Concatenate all gzip members of ``buf`` (CC: one member per record).
 
@@ -69,18 +130,12 @@ def _gunzip_tolerant(buf: bytes) -> tuple[bytes, str | None]:
     keeps everything the good members before it produced.
     """
     out = []
-    data = buf
-    while data:
-        d = zlib.decompressobj(wbits=31)
+    gen = _decompressed_stream(_chunks_of(buf))
+    while True:
         try:
-            out.append(d.decompress(data))
-        except zlib.error as ex:
-            return b"".join(out), f"gzip member: {ex}"
-        out.append(d.flush())
-        if not d.eof:
-            return b"".join(out), "gzip member truncated"
-        data = d.unused_data
-    return b"".join(out), None
+            out.append(next(gen))
+        except StopIteration as si:
+            return b"".join(bytes(c) for c in out), si.value
 
 
 def gunzip_members(buf: bytes) -> bytes:
@@ -134,58 +189,86 @@ def _split_http(payload: bytes) -> tuple[int | None, str | None, bytes]:
     return status, hdrs.get("content-type"), payload[sep + 4 :]
 
 
-def parse_warc_file(raw: bytes, path: str, strict: bool = False) -> list[dict]:
-    """Walk one (decompressed or plain) WARC byte stream into record dicts."""
-    gzip_err: str | None = None
-    if raw[:2] == GZIP_MAGIC:
-        raw, gzip_err = _gunzip_tolerant(raw)
-        if gzip_err is not None and strict:
-            raise WarcParseError(f"{path}: {gzip_err}")
-    records: list[dict] = []
-    pos = 0
-    n = len(raw)
+def iter_warc_records(
+    raw_chunks, path: str, strict: bool = False
+) -> Iterator[dict]:
+    """INCREMENTAL record iterator over raw file chunks (gzip or plain).
+
+    Peak memory is one record + the decompress window — never the whole
+    decompressed archive (a ~1 GiB CC gzip inflates ~4×; the old
+    whole-buffer walk held all of it per task).  The consumed buffer
+    prefix is compacted as the walk advances.
+
+    Error contract unchanged: a record-level problem yields one error row
+    and ends the file; a gzip-member failure surfaces after the records
+    its good prefix produced.  ``strict=True`` raises at the same points.
+    """
+    stream = _decompressed_stream(raw_chunks)
+    stream_err: str | None = None
+    exhausted = False
+    buf = bytearray()
+    start = 0  # cursor into buf
+    base = 0  # bytes compacted away (global offset = base + start)
     seq = 0
-    while pos < n:
+
+    def fill() -> bool:
+        nonlocal stream_err, exhausted
+        if exhausted:
+            return False
+        try:
+            buf.extend(next(stream))
+            return True
+        except StopIteration as si:
+            stream_err = si.value
+            exhausted = True
+            return False
+
+    def need(n: int) -> bool:
+        """Grow buf until n bytes available from start (or EOF)."""
+        while len(buf) - start < n:
+            if not fill():
+                return False
+        return True
+
+    def fail(err: str):
+        if strict:
+            raise WarcParseError(f"{path}: {err}")
+        return _error_row(path, err)
+
+    while True:
         # tolerate padding CRLFs between records
-        while pos < n and raw[pos : pos + 2] == b"\r\n":
-            pos += 2
-        if pos >= n:
+        while need(2) and buf[start : start + 2] == b"\r\n":
+            start += 2
+        if len(buf) - start == 0 and exhausted:
             break
-        if not raw[pos : pos + 5] == b"WARC/":
-            err = f"expected WARC version line at byte {pos}"
-            if strict:
-                raise WarcParseError(f"{path}: {err}")
-            records.append(_error_row(path, err))
-            return records
-        hdr_end = raw.find(b"\r\n\r\n", pos)
+        if not need(5) and len(buf) - start == 0:
+            break
+        pos = base + start
+        if buf[start : start + 5] != b"WARC/":
+            yield fail(f"expected WARC version line at byte {pos}")
+            return
+        hdr_end = buf.find(b"\r\n\r\n", start)
+        while hdr_end < 0 and len(buf) - start <= MAX_HEADER and fill():
+            hdr_end = buf.find(b"\r\n\r\n", start)
         if hdr_end < 0:
-            err = f"unterminated record header at byte {pos}"
-            if strict:
-                raise WarcParseError(f"{path}: {err}")
-            records.append(_error_row(path, err))
-            return records
-        headers = _parse_headers(raw[pos:hdr_end])
+            yield fail(f"unterminated record header at byte {pos}")
+            return
+        headers = _parse_headers(bytes(memoryview(buf)[start:hdr_end]))
         try:
             clen = int(headers["content-length"])
             if clen < 0:
                 raise ValueError
         except (KeyError, ValueError):
-            err = f"missing/invalid Content-Length at byte {pos}"
-            if strict:
-                raise WarcParseError(f"{path}: {err}") from None
-            records.append(_error_row(path, err))
-            return records
+            yield fail(f"missing/invalid Content-Length at byte {pos}")
+            return
         body_start = hdr_end + 4
-        if body_start + clen > n:
-            err = (
-                f"record at byte {pos} truncated: needs {clen} payload bytes,"
-                f" {n - body_start} remain"
+        if not need(body_start - start + clen):
+            yield fail(
+                f"record at byte {pos} truncated: needs {clen} payload"
+                f" bytes, {len(buf) - body_start} remain"
             )
-            if strict:
-                raise WarcParseError(f"{path}: {err}")
-            records.append(_error_row(path, err))
-            return records
-        payload = raw[body_start : body_start + clen]
+            return
+        payload = bytes(memoryview(buf)[body_start : body_start + clen])
         wtype = headers.get("warc-type")
         ctype = headers.get("content-type")
         # body is the HTTP message body for response records and NULL
@@ -196,30 +279,37 @@ def parse_warc_file(raw: bytes, path: str, strict: bool = False) -> list[dict]:
             status, http_ct, body = _split_http(payload)
             if status is None:  # unsplittable HTTP message: no body column
                 body = None
-        records.append(
-            {
-                "path": path,
-                "record_seq": seq,
-                "warc_type": wtype,
-                "record_id": headers.get("warc-record-id"),
-                "target_uri": headers.get("warc-target-uri"),
-                "warc_date": _parse_warc_date(headers.get("warc-date")),
-                "content_type": ctype,
-                "content_length": clen,
-                "http_status": status,
-                "http_content_type": http_ct,
-                "payload": payload,
-                "body": body,
-                "parse_error": None,
-            }
-        )
+        yield {
+            "path": path,
+            "record_seq": seq,
+            "warc_type": wtype,
+            "record_id": headers.get("warc-record-id"),
+            "target_uri": headers.get("warc-target-uri"),
+            "warc_date": _parse_warc_date(headers.get("warc-date")),
+            "content_type": ctype,
+            "content_length": clen,
+            "http_status": status,
+            "http_content_type": http_ct,
+            "payload": payload,
+            "body": body,
+            "parse_error": None,
+        }
         seq += 1
-        pos = body_start + clen
-    if gzip_err is not None:
+        start = body_start + clen
+        if start > _COMPACT_AT:
+            del buf[:start]
+            base += start
+            start = 0
+    if stream_err is not None:
         # the decompressed prefix ended exactly on a record boundary, so
         # no record-level error fired — still surface the member failure
-        records.append(_error_row(path, gzip_err))
-    return records
+        yield fail(stream_err)
+
+
+def parse_warc_file(raw: bytes, path: str, strict: bool = False) -> list[dict]:
+    """Walk one whole in-memory WARC byte string into record dicts —
+    a thin wrapper over the incremental :func:`iter_warc_records`."""
+    return list(iter_warc_records(_chunks_of(raw), path, strict))
 
 
 def _error_row(path: str, err: str) -> dict:
@@ -245,25 +335,44 @@ def warc_records(
     content_col: str = "content",
     path_col: str = "path",
     strict: bool = False,
+    batch_rows: int = 1024,
+    batch_bytes: int = 64 << 20,
 ) -> DataFrame:
     """Explode (path, content) archive rows into one row per WARC record.
 
     ``files`` is the shape of ``spark.read.format("binaryFile")`` (extra
-    columns are dropped).  See the module docstring for the scale and
-    error contracts.
+    columns are dropped).  Records stream out of the incremental parser
+    in Arrow batches of at most ``batch_rows`` rows / ~``batch_bytes``
+    payload bytes, so a task's peak memory is the (compressed) input file
+    plus one batch — never the whole decompressed archive.  See the
+    module docstring for the scale and error contracts.
     """
     slim = files.select(path_col, content_col)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in RECORD_SCHEMA.fields]
-        for pdf in batches:
-            rows: list[dict] = []
-            for path, content in zip(pdf[path_col], pdf[content_col]):
-                rows.extend(parse_warc_file(bytes(content), str(path), strict))
+        rows: list[dict] = []
+        nbytes = 0
+
+        def flush() -> pd.DataFrame:
+            nonlocal rows, nbytes
             out = pd.DataFrame(rows, columns=cols)
             if len(out):
                 out["warc_date"] = pd.to_datetime(out["warc_date"], utc=True)
-            yield out
+            rows, nbytes = [], 0
+            return out
+
+        for pdf in batches:
+            for path, content in zip(pdf[path_col], pdf[content_col]):
+                for rec in iter_warc_records(
+                    _chunks_of(content), str(path), strict
+                ):
+                    rows.append(rec)
+                    nbytes += len(rec["payload"] or b"")
+                    if len(rows) >= batch_rows or nbytes >= batch_bytes:
+                        yield flush()
+        if rows:
+            yield flush()
 
     return slim.mapInPandas(kernel, RECORD_SCHEMA)
 

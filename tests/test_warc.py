@@ -216,3 +216,49 @@ class TestSpark:
         recs = warc_records(df)
         assert recs.collect()[0].http_status == 404
         assert response_pages(recs).count() == 0
+
+
+class TestIncremental:
+    """The streaming core: chunked input, compaction, batched output."""
+
+    def test_chunked_equals_whole(self):
+        import bayard_spark.sources.warc as W
+
+        raw = b"".join(sample_records()) * 20
+        gz = gzip.compress(raw)
+        for blob in (raw, gz):
+            whole = parse_warc_file(blob, "f")
+            for chunk in (1, 7, 64, 1000):
+                chunks = [blob[i : i + chunk] for i in range(0, len(blob), chunk)]
+                assert list(W.iter_warc_records(chunks, "f")) == whole
+
+    def test_compaction_preserves_results_and_offsets(self, monkeypatch):
+        import bayard_spark.sources.warc as W
+
+        monkeypatch.setattr(W, "_COMPACT_AT", 64)  # force compaction often
+        raw = b"".join(sample_records()) * 10
+        recs = list(W.iter_warc_records([raw], "f"))
+        assert recs == parse_warc_file(raw, "f")
+        assert [r["record_seq"] for r in recs] == list(range(30))
+        # an error after heavy compaction still reports the GLOBAL offset
+        bad = raw + b"garbage-tail"
+        recs = list(W.iter_warc_records([bad], "f"))
+        assert f"at byte {len(raw)}" in recs[-1]["parse_error"]
+
+    def test_batched_arrow_output(self, spark):
+        rows = [("mem://big.warc", b"".join(sample_records()) * 40)]
+        df = spark.createDataFrame(rows, "path string, content binary")
+        out = warc_records(df, batch_rows=7)
+        assert out.count() == 120
+        assert [r.record_seq for r in out.orderBy("record_seq").collect()] == list(
+            range(120)
+        )
+
+    def test_per_record_gzip_members_chunked(self):
+        import bayard_spark.sources.warc as W
+
+        blob = b"".join(gzip.compress(r) for r in sample_records() * 5)
+        chunks = [blob[i : i + 13] for i in range(0, len(blob), 13)]
+        recs = list(W.iter_warc_records(chunks, "f"))
+        assert len(recs) == 15
+        assert all(r["parse_error"] is None for r in recs)
