@@ -518,6 +518,39 @@ def q_ann_ivf(spark, sf_dir):
     )
 
 
+def q_ann_pq(spark, sf_dir):
+    """Product-quantization ANN under the driver oracle: codebook rows =
+    the 16 vectors with smallest md5-derived key (oracle-reproducible
+    sampling, the ann_ivf convention), m=8 sub-codebooks, encode via the
+    production numpy kernel (functions/similarity.pq_encode), search via
+    the production JVM-only ADC scan (pq_search — the distance table
+    rides the plan as array literals, element_at lookups inside codegen).
+    The oracle replays sampling, per-subspace argmin encoding and the
+    ADC sum in SQL — bit-compared on the 6dp-rounded distance."""
+    import numpy as np
+
+    from bayard_spark.functions.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_search,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    srows = (
+        emb.withColumn("_h", _pmd5(F.col("vec_id").cast("string")))
+        .orderBy("_h", "vec_id")
+        .limit(16)
+        .collect()
+    )
+    sample = np.asarray([r["embedding"] for r in srows], dtype=np.float64)
+    books = pq_codebooks(emb, m=8, k=16, sample_rows=sample)
+    qrow = emb.filter(F.col("vec_id") == 0).collect()[0]
+    enc = pq_encode(emb, books)
+    return pq_search(enc, books, list(qrow["embedding"]), topk=10)
+
+
 def q_unigram_logprob(spark, sf_dir):
     """Corpus-LM quality proxy: per-doc mean unigram log-prob under the
     corpus's own term distribution (functions/textstats.unigram_logprob) —
@@ -1765,6 +1798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_order": q_train_order,
         "corpus_report": q_corpus_report,
         "pipeline_clean": q_pipeline_clean,
+        "ann_pq": q_ann_pq,
         "emb_near_dup": q_emb_near_dup,
         "ann_cosine": q_ann_cosine,
         "events_daily": q_events_daily,
@@ -3119,6 +3153,51 @@ SELECT doc_id,
        coalesce(text, '') AS body_text,
        CAST({_WARC_EPOCH0} + doc_id AS BIGINT) AS ts
 FROM documents ORDER BY doc_id
+"""
+
+    sqls["ann_pq"] = """
+WITH e AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, v -> v::DOUBLE) AS emb
+  FROM embeddings
+),
+samp AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cidx, emb
+  FROM (SELECT vec_id, emb,
+               CAST(('0x' || substr(md5(vec_id::VARCHAR), 1, 15)) AS BIGINT)
+                 AS h
+        FROM e ORDER BY h, vec_id LIMIT 16)
+),
+q AS MATERIALIZED (SELECT emb AS qe FROM e WHERE vec_id = 0),
+dists AS (
+  SELECT e.vec_id, j.j, s.cidx,
+         sum(pow(e.emb[j.j * 8 + g.i] - s.emb[j.j * 8 + g.i], 2)) AS d2
+  FROM e,
+       (SELECT unnest(generate_series(0, 7)) AS j) j,
+       samp s,
+       (SELECT unnest(generate_series(1, 8)) AS i) g
+  GROUP BY 1, 2, 3
+),
+codes AS MATERIALIZED (
+  SELECT vec_id, j, cidx
+  FROM (SELECT vec_id, j, cidx,
+               row_number() OVER (PARTITION BY vec_id, j
+                                  ORDER BY d2, cidx) AS rn
+        FROM dists)
+  WHERE rn = 1
+),
+tab AS MATERIALIZED (
+  SELECT s.cidx, j.j,
+         sum(pow(q.qe[j.j * 8 + g.i] - s.emb[j.j * 8 + g.i], 2)) AS td
+  FROM samp s, q,
+       (SELECT unnest(generate_series(0, 7)) AS j) j,
+       (SELECT unnest(generate_series(1, 8)) AS i) g
+  GROUP BY 1, 2
+)
+SELECT c.vec_id, round(sum(t.td), 6) AS pq_dist
+FROM codes c JOIN tab t ON t.j = c.j AND t.cidx = c.cidx
+GROUP BY c.vec_id
+ORDER BY pq_dist, vec_id
+LIMIT 10
 """
 
     # composed pipeline: the per-op replays nested in recipe order

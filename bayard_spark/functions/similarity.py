@@ -278,3 +278,133 @@ def load_ivf_index(spark, path: str) -> tuple[DataFrame, np.ndarray]:
     crows = spark.read.parquet(f"{path}/centroids").orderBy("cidx").collect()
     cents = np.asarray([r.vector for r in crows], dtype=np.float64)
     return vectors, cents
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ / IVF-PQ)
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_rows: np.ndarray | None = None,
+) -> np.ndarray:
+    """(m, k, d/m) sub-codebooks from a deterministic hash-spread sample.
+
+    At 100 TB the float32 embedding column is the storage and scan
+    bottleneck — PQ replaces each d-dim vector by m one-byte codes, and
+    search scans codes, not floats. Codebook rows come from the same
+    deterministic sampling rule as IVF centroids (smallest xxhash64(id)),
+    so training is one bounded collect and fully replayable — no RNG, no
+    k-means state to persist; pass `sample_rows` (k, d) to inject an
+    externally-chosen (or k-means-refined) sample instead.
+    """
+    if sample_rows is None:
+        sample_rows = deterministic_centroids(emb, k, id_col, vec_col)
+    d = sample_rows.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    return np.stack(
+        [sample_rows[:, j * dsub : (j + 1) * dsub] for j in range(m)]
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Add `out_col: array<int>` — per subspace, the L2-nearest codebook
+    entry (ties to the lowest index). One numpy matmul pass per Arrow
+    batch (the ivf_assign pattern); the float vector can be dropped
+    afterwards — codes are m bytes of information per row."""
+    m, k, dsub = codebooks.shape
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                xs = x[:, j * dsub : (j + 1) * dsub]
+                # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; ||x||^2 is
+                # constant per row, so argmin over (-2 x.c + ||c||^2)
+                d2 = (codebooks[j] ** 2).sum(axis=1)[None, :] - 2.0 * (
+                    xs @ codebooks[j].T
+                )
+                codes[:, j] = d2.argmin(axis=1)
+            pdf = pdf.copy()
+            pdf[out_col] = list(codes)
+            yield pdf
+
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    schema = StructType(
+        list(emb.schema.fields) + [StructField(out_col, ArrayType(IntegerType()))]
+    )
+    return emb.mapInPandas(encode, schema)
+
+
+def pq_search(
+    encoded: DataFrame,
+    codebooks: np.ndarray,
+    query_vec: list[float],
+    topk: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes — JVM-ONLY scan.
+
+    The m×k query-to-centroid distance table is tiny and rides the plan
+    as array literals; each row's approximate distance is m element_at
+    lookups + adds inside whole-stage codegen (no Python, no floats read
+    from storage). Ties order by vec_id ASC on the 6dp-rounded distance,
+    the driver-gate convention."""
+    m, k, dsub = codebooks.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    if q.shape[0] != m * dsub:
+        raise ValueError("query dim mismatch")
+    dist = F.lit(0.0)
+    for j in range(m):
+        qs = q[j * dsub : (j + 1) * dsub]
+        table = ((codebooks[j] - qs[None, :]) ** 2).sum(axis=1)
+        tlit = F.array(*[F.lit(float(v)) for v in table])
+        dist = dist + F.element_at(
+            tlit, F.element_at(F.col(code_col), j + 1) + 1
+        )
+    return (
+        encoded.select(
+            F.col(id_col).alias("vec_id"),
+            F.round(dist, 6).alias("pq_dist"),
+        )
+        .orderBy(F.asc("pq_dist"), F.asc("vec_id"))
+        .limit(topk)
+    )
+
+
+def ivf_pq_search(
+    assigned_encoded: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    query_vec: list[float],
+    topk: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """IVF-PQ: prune to the nprobe nearest cells (partition/file pruning
+    when written via write_ivf_index), then the JVM ADC scan over codes —
+    the standard billion-scale layout (coarse quantizer + PQ refinement),
+    with every stage deterministic and replayable."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    probes = np.argsort(-(cn @ qn), kind="stable")[:nprobe].tolist()
+    pruned = assigned_encoded.filter(F.col("centroid").isin(probes))
+    return pq_search(pruned, codebooks, query_vec, topk, id_col, code_col)

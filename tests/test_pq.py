@@ -1,0 +1,125 @@
+"""PQ / IVF-PQ vs an independent numpy reference."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bayard_spark.functions.similarity import (
+    deterministic_centroids,
+    ivf_assign,
+    ivf_pq_search,
+    pq_codebooks,
+    pq_encode,
+    pq_search,
+)
+
+
+def ref_encode(x, books):
+    """Naive reference: full ||x-c||^2, argmin (first on ties)."""
+    m, k, dsub = books.shape
+    codes = np.empty((len(x), m), dtype=int)
+    for j in range(m):
+        xs = x[:, j * dsub : (j + 1) * dsub]
+        d2 = ((xs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = d2.argmin(axis=1)
+    return codes
+
+
+def ref_adc(codes, books, q):
+    m, k, dsub = books.shape
+    dist = np.zeros(len(codes))
+    for j in range(m):
+        table = ((books[j] - q[j * dsub : (j + 1) * dsub][None, :]) ** 2).sum(
+            axis=1
+        )
+        dist += table[codes[:, j]]
+    return dist
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(300, 32)).astype(np.float64)
+    x[250] = x[0]  # exact duplicate of the query vector
+    rows = [(i, x[i].tolist()) for i in range(len(x))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return df, x
+
+
+class TestPQ:
+    def test_codebook_shape_and_determinism(self, spark, emb):
+        df, x = emb
+        b1 = pq_codebooks(df, m=4, k=8)
+        b2 = pq_codebooks(df.repartition(7), m=4, k=8)
+        assert b1.shape == (4, 8, 8)
+        assert np.array_equal(b1, b2)
+        with pytest.raises(ValueError, match="not divisible"):
+            pq_codebooks(df, m=5, k=8)
+
+    def test_encode_matches_reference(self, spark, emb):
+        df, x = emb
+        books = pq_codebooks(df, m=4, k=8)
+        got = {
+            r.vec_id: list(r.pq_code)
+            for r in pq_encode(df, books).collect()
+        }
+        want = ref_encode(x, books)
+        for i in range(len(x)):
+            assert got[i] == list(want[i]), i
+
+    def test_search_matches_reference_ranking(self, spark, emb):
+        df, x = emb
+        books = pq_codebooks(df, m=4, k=8)
+        codes = ref_encode(x, books)
+        q = x[0]
+        dist = ref_adc(codes, books, q)
+        order = sorted(range(len(x)), key=lambda i: (round(dist[i], 6), i))
+        got = pq_search(pq_encode(df, books), books, q.tolist(), topk=12)
+        got_rows = got.collect()
+        assert [r.vec_id for r in got_rows] == order[:12]
+        for r in got_rows:
+            assert r.pq_dist == pytest.approx(dist[r.vec_id], abs=1e-6)
+
+    def test_duplicate_of_query_ranks_top(self, spark, emb):
+        df, x = emb
+        books = pq_codebooks(df, m=4, k=8)
+        top = pq_search(
+            pq_encode(df, books), books, x[0].tolist(), topk=2
+        ).collect()
+        assert {top[0].vec_id, top[1].vec_id} == {0, 250}
+        assert top[0].pq_dist == top[1].pq_dist  # identical codes
+
+    def test_ivf_pq_equals_manual_probe_restriction(self, spark, emb):
+        df, x = emb
+        cents = deterministic_centroids(df, 6)
+        books = pq_codebooks(df, m=4, k=8)
+        enc = pq_encode(ivf_assign(df, cents), books)
+        q = x[3]
+        got = ivf_pq_search(enc, cents, books, q.tolist(), topk=5, nprobe=2)
+        qn = q / np.linalg.norm(q)
+        cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        probes = np.argsort(-(cn @ qn), kind="stable")[:2].tolist()
+        manual = pq_search(
+            enc.filter(F.col("centroid").isin(probes)), books, q.tolist(), 5
+        )
+        assert [r.vec_id for r in got.collect()] == [
+            r.vec_id for r in manual.collect()
+        ]
+
+    def test_search_plan_is_jvm_only(self, spark, emb):
+        df, x = emb
+        books = pq_codebooks(df, m=4, k=8)
+        codes = ref_encode(x, books)
+        codes_df = spark.createDataFrame(
+            [(i, [int(c) for c in codes[i]]) for i in range(len(x))],
+            "vec_id long, pq_code array<int>",
+        )
+        plan = (
+            pq_search(codes_df, books, x[0].tolist(), 5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # the ADC scan over stored codes is pure JVM — no Python eval node
+        assert "EvalPython" not in plan and "InPandas" not in plan
+        assert "TakeOrderedAndProject" in plan
