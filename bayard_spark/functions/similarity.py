@@ -408,3 +408,32 @@ def ivf_pq_search(
     probes = np.argsort(-(cn @ qn), kind="stable")[:nprobe].tolist()
     pruned = assigned_encoded.filter(F.col("centroid").isin(probes))
     return pq_search(pruned, codebooks, query_vec, topk, id_col, code_col)
+
+
+def kmeans_refine(
+    sample: np.ndarray, init: np.ndarray, n_iter: int = 10
+) -> np.ndarray:
+    """Deterministic Lloyd refinement for IVF centroids / PQ codebooks.
+
+    Pure driver-side numpy over a BOUNDED sample (the caller draws it with
+    the deterministic hash rule, e.g. deterministic_centroids with a
+    larger n): no RNG, no Spark state — init + sample fully determine the
+    result, so a rebuilt index reproduces byte-identical centroids.
+    Ties in assignment go to the lowest centroid index (argmin); a
+    centroid that loses all members keeps its previous position (no
+    resampling — that would need randomness).
+
+    Quality knob only: ivf_search / pq_search are agnostic to where the
+    centroid matrix came from (`deterministic_centroids(emb, 64)` sample →
+    `kmeans_refine(sample, sample[:16], 10)` → better-balanced cells).
+    """
+    cents = np.array(init, dtype=np.float64, copy=True)
+    k = len(cents)
+    for _ in range(n_iter):
+        d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents

@@ -123,3 +123,35 @@ class TestPQ:
         # the ADC scan over stored codes is pure JVM — no Python eval node
         assert "EvalPython" not in plan and "InPandas" not in plan
         assert "TakeOrderedAndProject" in plan
+
+
+class TestKmeansRefine:
+    def test_reduces_quantization_error_and_is_deterministic(self):
+        from bayard_spark.functions.similarity import kmeans_refine
+
+        rng = np.random.default_rng(3)
+        # 4 well-separated blobs
+        centers = rng.normal(scale=10, size=(4, 8))
+        sample = np.vstack(
+            [c + rng.normal(scale=0.5, size=(50, 8)) for c in centers]
+        )
+        init = sample[:4]  # a poor init: all from the first blob
+
+        def err(cents):
+            d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            return d2.min(axis=1).sum()
+
+        refined = kmeans_refine(sample, init, n_iter=15)
+        assert err(refined) < 0.25 * err(init)
+        again = kmeans_refine(sample, init, n_iter=15)
+        assert np.array_equal(refined, again)
+        assert not np.array_equal(refined, init)  # input not mutated in place
+        assert np.array_equal(init, sample[:4])
+
+    def test_empty_cluster_keeps_position(self):
+        from bayard_spark.functions.similarity import kmeans_refine
+
+        sample = np.zeros((5, 2)) + [[0, 0], [0, 1], [1, 0], [1, 1], [0.5, 0.5]]
+        init = np.array([[0.5, 0.5], [100.0, 100.0]])
+        out = kmeans_refine(sample, init, n_iter=3)
+        assert np.array_equal(out[1], [100.0, 100.0])  # never won a member
