@@ -836,11 +836,42 @@ class SearchEngine:
             matched = dic.filter(matches(F.col("term")))
         return self._collect_expansion(matched, f"fuzzy {term!r}")
 
+    # regex metacharacters; a literal char FOLLOWED by one of the
+    # quantifiers is also not part of the mandatory prefix
+    _RX_META = set(r"\.^$*+?()[]{}|")
+    _RX_QUANT = set("*+?{")
+
+    @classmethod
+    def _regex_literal_prefix(cls, pattern: str) -> str:
+        """Longest literal prefix every FULLMATCH of `pattern` must start
+        with (the tantivy FST-range trick, regex.rs:12-25): walk until the
+        first metacharacter, and drop the last literal if a quantifier
+        follows it (in 'jo*' only 'j' is mandatory). Conservative — any
+        uncertainty yields the shorter (always-safe) prefix."""
+        if "|" in pattern:
+            # a TOP-LEVEL alternation voids any mandatory prefix ('jo|x'
+            # fullmatches 'x'); detecting nesting isn't worth the risk —
+            # no prefix is always safe
+            return ""
+        out = []
+        for i, ch in enumerate(pattern):
+            if ch in cls._RX_META:
+                break
+            if i + 1 < len(pattern) and pattern[i + 1] in cls._RX_QUANT:
+                break
+            out.append(ch)
+        return "".join(out)
+
     def _expand_regex(self, fld: str, pattern: str) -> dict[str, int]:
         """Regex term-dictionary expansion as a Spark job → {term: df}.
         Python-regex FULLMATCH semantics (= oracle, regex.rs:12-25) via
         pandas' vectorized str.fullmatch — NOT Java rlike, whose dialect
-        differs (e.g. possessive quantifiers, \\p classes)."""
+        differs (e.g. possessive quantifiers, \\p classes). The pattern's
+        mandatory literal prefix prunes the dictionary scan JVM-side
+        (StartsWith pushes into the parquet scan) before the Python
+        fullmatch verifies — at a web-scale vocabulary the UDF sees the
+        prefix neighborhood, not 10^8 terms."""
+        prefix = self._regex_literal_prefix(pattern)
         if self._dict_complete and len(self._df_cache) <= self.PRELOAD_EXPAND_MAX:
             import re as _re
 
@@ -848,7 +879,10 @@ class SearchEngine:
             out = {
                 t: df
                 for (f, t), df in self._df_cache.items()
-                if f == fld and df > 0 and rx.fullmatch(t)
+                if f == fld
+                and df > 0
+                and t.startswith(prefix)
+                and rx.fullmatch(t)
             }
             self._check_expansion_size(len(out), f"regex {pattern!r}")
             return out
@@ -858,7 +892,10 @@ class SearchEngine:
         def matches(terms: pd.Series) -> pd.Series:
             return terms.str.fullmatch(pattern).fillna(False)
 
-        matched = self._term_dictionary(fld).filter(matches(F.col("term")))
+        dic = self._term_dictionary(fld)
+        if prefix:
+            dic = dic.filter(F.col("term").startswith(prefix))
+        matched = dic.filter(matches(F.col("term")))
         return self._collect_expansion(matched, f"regex {pattern!r}")
 
     def _check_expansion_size(self, n: int, what: str) -> None:

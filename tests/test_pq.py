@@ -155,3 +155,44 @@ class TestKmeansRefine:
         init = np.array([[0.5, 0.5], [100.0, 100.0]])
         out = kmeans_refine(sample, init, n_iter=3)
         assert np.array_equal(out[1], [100.0, 100.0])  # never won a member
+
+
+class TestRegexPrefix:
+    """_regex_literal_prefix: every fullmatch of the pattern must start
+    with the returned prefix (safety), checked by brute force."""
+
+    def test_cases(self):
+        from bayard_spark.query.engine import SearchEngine
+
+        p = SearchEngine._regex_literal_prefix
+        assert p("jo[a-z]*") == "jo"
+        assert p("join") == "join"
+        assert p("jo*") == "j"      # quantified 'o' is optional
+        assert p("a{2}b") == ""     # conservative before '{'
+        assert p("jo|x") == ""      # top-level alternation: no prefix
+        assert p("(jo)x") == ""
+        assert p("jo\\.x") == "jo"
+        assert p("^jo") == ""
+        assert p("") == ""
+
+    def test_safety_brute_force(self):
+        import itertools
+        import re
+
+        from bayard_spark.query.engine import SearchEngine
+
+        pats = [
+            "ab[cd]*", "a*b", "ab|cd", "a(b|c)d", "abc?", "ab{1,2}c",
+            "a.c", "abc", "a\\db", "ab$", "a+b",
+        ]
+        words = [
+            "".join(w)
+            for n in range(1, 5)
+            for w in itertools.product("abcd1", repeat=n)
+        ]
+        for pat in pats:
+            prefix = SearchEngine._regex_literal_prefix(pat)
+            rx = re.compile(pat)
+            for w in words:
+                if rx.fullmatch(w):
+                    assert w.startswith(prefix), (pat, w, prefix)
