@@ -17,9 +17,16 @@ Contract:
 - the step list is data (name + kwargs), so a recipe is a checked-in
   config, reproducible and diffable.
 
-Scale shape: the composer adds NOTHING to the constituent plans except
-the single final carry join — no extra shuffles, no actions (stage-count
-reporting is opt-in because counting forces a job per stage).
+Scale shape: the composer adds one carry join and no actions (stage-count
+reporting is opt-in because counting forces a job per stage).  Filter
+steps that derive a keep-set from their own input (gopher, quality,
+decontaminate) are semi-joins whose two sides share the upstream lineage,
+so Spark evaluates the chain up to that point TWICE per such step — the
+inherent cost of self-join filtering without materialization.  Order a
+recipe cheap-transforms-first, put at most one derived filter late, or
+persist/checkpoint the frame before a run of them when the upstream chain
+is expensive; the composer deliberately does not auto-persist (at 100 TB
+that is a caller-owned storage decision).
 """
 
 from __future__ import annotations
@@ -74,7 +81,9 @@ def _step_gopher(cur: DataFrame, **kw) -> DataFrame:
     return cur.join(keep, "doc_id", "left_semi")
 
 
-def _step_min_tokens(cur: DataFrame, n: int = 1, **kw) -> DataFrame:
+def _step_min_tokens(cur: DataFrame, n: int = 1) -> DataFrame:
+    # no **kw passthrough: a typo'd recipe key must raise, not silently
+    # degrade the filter to n=1 (recipes are checked-in config)
     from bayard_spark.functions.textstats import _tokens_col
 
     return cur.where(
@@ -99,6 +108,7 @@ def _step_quality(
     weights: DataFrame = None,
     num_buckets: int = None,
     min_score: float = 0.5,
+    keep_unscored: bool = True,
     **kw,
 ) -> DataFrame:
     from bayard_spark.functions.textstats import linear_text_score
@@ -108,13 +118,21 @@ def _step_quality(
     scored = linear_text_score(
         cur, weights, num_buckets=num_buckets, text_col="text", **kw
     )
-    keep = scored.where(F.col("score") >= min_score).select("doc_id")
+    # NULL score = no features; a quality THRESHOLD must not double as a
+    # non-empty filter (min_tokens is the explicit one), so unscored docs
+    # pass by default
+    cond = F.col("score") >= min_score
+    if keep_unscored:
+        cond = cond | F.col("score").isNull()
+    keep = scored.where(cond).select("doc_id")
     return cur.join(keep, "doc_id", "left_semi")
 
 
 def _step_sample(cur: DataFrame, strata=None, **kw) -> DataFrame:
     """strata: a (doc_id, <strata_col>) frame (e.g. the caller's source
-    column) — joined for the draw, dropped after."""
+    column) — LEFT-joined for the draw (a doc absent from it falls into a
+    sentinel stratum governed by default_fraction, never silently
+    dropped), dropped after."""
     from bayard_spark.functions.sampling import hash_fraction_sample
 
     if strata is None:
@@ -122,7 +140,10 @@ def _step_sample(cur: DataFrame, strata=None, **kw) -> DataFrame:
         work = cur.withColumn(strata_col, F.lit("all"))
     else:
         strata_col = [c for c in strata.columns if c != "doc_id"][0]
-        work = cur.join(strata, "doc_id")
+        work = cur.join(strata, "doc_id", "left").withColumn(
+            strata_col,
+            F.coalesce(F.col(strata_col), F.lit("__no_stratum__")),
+        )
     out = hash_fraction_sample(work, strata_col, id_col="doc_id", **kw)
     return out.select("doc_id", "text")
 
@@ -187,19 +208,27 @@ def clean_pipeline(
     cur = df.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     )
+    carry_df = (
+        df.select(id_col, *carry).withColumnRenamed(id_col, "doc_id")
+        if carry
+        else None
+    )
     report: list[dict] = []
     for i, (name, kw) in enumerate(steps):
         if name not in STEPS:
             raise ValueError(f"unknown pipeline step {name!r}")
         if name in _TERMINAL and i != len(steps) - 1:
             raise ValueError(f"step {name!r} must be last (changes row grain)")
+        if carry_df is not None and name == "train_order" and i == len(steps) - 1:
+            # the join would shuffle away the ordering train_order exists
+            # to produce — rejoin the carry columns BEFORE the final sort
+            cur = cur.join(carry_df, "doc_id")
+            carry_df = None
         cur = STEPS[name](cur, **dict(kw))
         entry = {"step": name}
         if count_stages:
             entry["rows"] = cur.count()
         report.append(entry)
-    if carry:
-        cur = cur.join(df.select(id_col, *carry).withColumnRenamed(
-            id_col, "doc_id"
-        ), "doc_id")
+    if carry_df is not None:
+        cur = cur.join(carry_df, "doc_id")
     return cur, report

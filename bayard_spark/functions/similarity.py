@@ -88,16 +88,32 @@ def ivf_assign(
     centroids: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    metric: str = "cosine",
 ) -> DataFrame:
-    """Add `centroid` = argmax cosine(centroid, vec); numpy matmul per batch."""
-    c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    """Add `centroid` = nearest centroid (argmax cosine, or argmin L2 with
+    ``metric="l2"`` — the choice for IVF-PQ, whose ADC scan ranks by L2);
+    numpy matmul per batch."""
+    if metric not in ("cosine", "l2"):
+        raise ValueError(f"metric must be 'cosine' or 'l2', got {metric!r}")
+    c = (
+        centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+        if metric == "cosine"
+        else np.asarray(centroids, dtype=np.float64)
+    )
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             m = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
-            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
             pdf = pdf.copy()
-            pdf["centroid"] = (mn @ c.T).argmax(axis=1).astype("int32")
+            if metric == "cosine":
+                mn = m / np.maximum(
+                    np.linalg.norm(m, axis=1, keepdims=True), 1e-12
+                )
+                best = (mn @ c.T).argmax(axis=1)
+            else:
+                d2 = (c**2).sum(axis=1)[None, :] - 2.0 * (m @ c.T)
+                best = d2.argmin(axis=1)
+            pdf["centroid"] = best.astype("int32")
             yield pdf
 
     from pyspark.sql.types import IntegerType, StructField, StructType
@@ -401,11 +417,16 @@ def ivf_pq_search(
     """IVF-PQ: prune to the nprobe nearest cells (partition/file pruning
     when written via write_ivf_index), then the JVM ADC scan over codes —
     the standard billion-scale layout (coarse quantizer + PQ refinement),
-    with every stage deterministic and replayable."""
+    with every stage deterministic and replayable.
+
+    Metric alignment: the ADC scan ranks by L2, so probe cells are chosen
+    by L2 distance to the centroids as well — assign the table with
+    ``ivf_assign(..., metric="l2")`` so all three stages (assignment,
+    probing, ranking) agree; a cosine-assigned table under an L2 scan
+    systematically misses near neighbors when vector norms vary."""
     q = np.asarray(query_vec, dtype=np.float64)
-    qn = q / np.linalg.norm(q)
-    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
-    probes = np.argsort(-(cn @ qn), kind="stable")[:nprobe].tolist()
+    d2 = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probes = np.argsort(d2, kind="stable")[:nprobe].tolist()
     pruned = assigned_encoded.filter(F.col("centroid").isin(probes))
     return pq_search(pruned, codebooks, query_vec, topk, id_col, code_col)
 
@@ -428,9 +449,14 @@ def kmeans_refine(
     `kmeans_refine(sample, sample[:16], 10)` → better-balanced cells).
     """
     cents = np.array(init, dtype=np.float64, copy=True)
+    sample = np.asarray(sample, dtype=np.float64)
     k = len(cents)
     for _ in range(n_iter):
-        d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; ||x||^2 is constant per
+        # row, so argmin over the matmul form — O(n*k) memory, not the
+        # O(n*k*d) broadcast tensor (a 100k x 256 x 768 refine would
+        # allocate ~157 GB the naive way)
+        d2 = (cents**2).sum(axis=1)[None, :] - 2.0 * (sample @ cents.T)
         assign = d2.argmin(axis=1)
         for c in range(k):
             members = sample[assign == c]

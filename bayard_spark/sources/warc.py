@@ -247,11 +247,18 @@ def iter_warc_records(
         if buf[start : start + 5] != b"WARC/":
             yield fail(f"expected WARC version line at byte {pos}")
             return
-        hdr_end = buf.find(b"\r\n\r\n", start)
-        while hdr_end < 0 and len(buf) - start <= MAX_HEADER and fill():
-            hdr_end = buf.find(b"\r\n\r\n", start)
+        # the terminator must BEGIN within MAX_HEADER bytes of the record
+        # start — a bounded find makes the rule a property of the bytes,
+        # never of where chunk/decompress boundaries happened to fall
+        hdr_cap = start + MAX_HEADER + 4
+        hdr_end = buf.find(b"\r\n\r\n", start, hdr_cap)
+        while hdr_end < 0 and len(buf) < hdr_cap and fill():
+            hdr_end = buf.find(b"\r\n\r\n", start, hdr_cap)
         if hdr_end < 0:
-            yield fail(f"unterminated record header at byte {pos}")
+            yield fail(
+                f"unterminated or oversized (> {MAX_HEADER} B) record"
+                f" header at byte {pos}"
+            )
             return
         headers = _parse_headers(bytes(memoryview(buf)[start:hdr_end]))
         try:
@@ -368,7 +375,10 @@ def warc_records(
                     _chunks_of(content), str(path), strict
                 ):
                     rows.append(rec)
-                    nbytes += len(rec["payload"] or b"")
+                    # body is a near-full copy of payload on response rows
+                    nbytes += len(rec["payload"] or b"") + len(
+                        rec["body"] or b""
+                    )
                     if len(rows) >= batch_rows or nbytes >= batch_bytes:
                         yield flush()
         if rows:

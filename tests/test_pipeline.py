@@ -123,3 +123,66 @@ class TestPipeline:
         )
         ids = {r.doc_id for r in got.collect()}
         assert ids == {0, 1, 4, 6}  # every 'a', no 'b'
+
+
+class TestReviewFixes:
+    def test_min_tokens_rejects_unknown_kwarg(self, spark, corpus):
+        with pytest.raises(TypeError):
+            clean_pipeline(corpus, [("min_tokens", {"min_n": 5})])
+
+    def test_sample_missing_strata_uses_default(self, spark, corpus):
+        # strata frame covers only doc 0; everyone else falls into the
+        # sentinel stratum governed by default_fraction
+        strata = corpus.where("doc_id = 0").select("doc_id", "source")
+        kept_all, _ = clean_pipeline(
+            corpus,
+            [("sample", {"strata": strata, "fractions": {"a": 1.0},
+                         "default_fraction": 1.0})],
+        )
+        assert kept_all.count() == corpus.count()
+        kept_none, _ = clean_pipeline(
+            corpus,
+            [("sample", {"strata": strata, "fractions": {"a": 1.0},
+                         "default_fraction": 0.0})],
+        )
+        assert {r.doc_id for r in kept_none.collect()} == {0}
+
+    def test_quality_keeps_unscored_by_default(self, spark):
+        from pyspark.sql import functions as SF
+
+        docs = spark.createDataFrame(
+            [(0, "good words here"), (1, "")],  # doc 1: no features -> NULL
+            "doc_id long, text string",
+        )
+        wts = spark.range(64).select(
+            SF.col("id").alias("bucket"), SF.lit(5.0).alias("weight")
+        )
+        kept, _ = clean_pipeline(
+            docs,
+            [("quality", {"weights": wts, "num_buckets": 64,
+                          "min_score": 0.5})],
+        )
+        assert {r.doc_id for r in kept.collect()} == {0, 1}
+        dropped, _ = clean_pipeline(
+            docs,
+            [("quality", {"weights": wts, "num_buckets": 64,
+                          "min_score": 0.5, "keep_unscored": False})],
+        )
+        assert {r.doc_id for r in dropped.collect()} == {0}
+
+    def test_carry_preserves_terminal_train_order(self, spark, corpus):
+        got, _ = clean_pipeline(
+            corpus,
+            [("min_tokens", {"n": 1}), ("train_order", {"seed": 3})],
+            carry=("source",),
+        )
+        rows = got.collect()
+        assert "source" in got.columns
+        keys = [(r._order_key, r.doc_id) for r in rows]
+        # per-partition sorted = writer order; collected partitions are
+        # each internally ordered
+        parts = got.rdd.glom().map(
+            lambda rs: [(r["_order_key"], r["doc_id"]) for r in rs]
+        ).collect()
+        for p in parts:
+            assert p == sorted(p)

@@ -93,18 +93,32 @@ class TestPQ:
         df, x = emb
         cents = deterministic_centroids(df, 6)
         books = pq_codebooks(df, m=4, k=8)
-        enc = pq_encode(ivf_assign(df, cents), books)
+        # metric-aligned layout: L2 assignment to match the L2 ADC scan
+        enc = pq_encode(ivf_assign(df, cents, metric="l2"), books)
         q = x[3]
         got = ivf_pq_search(enc, cents, books, q.tolist(), topk=5, nprobe=2)
-        qn = q / np.linalg.norm(q)
-        cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
-        probes = np.argsort(-(cn @ qn), kind="stable")[:2].tolist()
+        d2 = ((cents - q[None, :]) ** 2).sum(axis=1)
+        probes = np.argsort(d2, kind="stable")[:2].tolist()
         manual = pq_search(
             enc.filter(F.col("centroid").isin(probes)), books, q.tolist(), 5
         )
         assert [r.vec_id for r in got.collect()] == [
             r.vec_id for r in manual.collect()
         ]
+
+    def test_ivf_assign_l2_matches_reference(self, spark, emb):
+        df, x = emb
+        cents = deterministic_centroids(df, 6)
+        got = {
+            r.vec_id: r.centroid
+            for r in ivf_assign(df, cents, metric="l2").collect()
+        }
+        want = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2).argmin(
+            axis=1
+        )
+        assert all(got[i] == want[i] for i in range(len(x)))
+        with pytest.raises(ValueError, match="metric"):
+            ivf_assign(df, cents, metric="dot")
 
     def test_search_plan_is_jvm_only(self, spark, emb):
         df, x = emb

@@ -262,3 +262,43 @@ class TestIncremental:
         recs = list(W.iter_warc_records(chunks, "f"))
         assert len(recs) == 15
         assert all(r["parse_error"] is None for r in recs)
+
+
+class TestHeaderCap:
+    def test_oversized_header_is_chunking_independent(self):
+        import bayard_spark.sources.warc as W
+
+        # a 70KB header exceeds MAX_HEADER: malformed regardless of how
+        # the bytes arrive (whole buffer vs 4KB chunks must agree)
+        big_hdr = (
+            b"WARC/1.0\r\nWARC-Type: resource\r\nX-Pad: "
+            + b"a" * 70_000
+            + b"\r\nContent-Length: 2\r\n\r\nhi\r\n\r\n"
+        )
+        whole = parse_warc_file(big_hdr, "f")
+        chunked = list(
+            W.iter_warc_records(
+                [big_hdr[i : i + 4096] for i in range(0, len(big_hdr), 4096)],
+                "f",
+            )
+        )
+        assert whole == chunked
+        assert len(whole) == 1 and "header" in whole[0]["parse_error"]
+
+    def test_large_but_legal_header_parses_either_way(self):
+        import bayard_spark.sources.warc as W
+
+        hdr = (
+            b"WARC/1.0\r\nWARC-Type: resource\r\nX-Pad: "
+            + b"a" * 10_000
+            + b"\r\nContent-Length: 2\r\n\r\nhi\r\n\r\n"
+        )
+        whole = parse_warc_file(hdr, "f")
+        chunked = list(
+            W.iter_warc_records(
+                [hdr[i : i + 100] for i in range(0, len(hdr), 100)], "f"
+            )
+        )
+        assert whole == chunked
+        assert whole[0]["parse_error"] is None
+        assert whole[0]["payload"] == b"hi"
