@@ -93,13 +93,16 @@ def write_huffman(bw: BW, freqs: dict[int, int], alphabet: int):
     payload. Uses a simple code for <=2 symbols, else the normal
     code-length-code path with every length emitted literally."""
     syms = sorted(freqs)
-    if len(syms) == 1:
+    # simple codes carry symbols in 8 bits — a length/cache code >= 256
+    # (e.g. green symbol 257 when every literal shares one green) cannot
+    # use them and must take the normal code-length path
+    if len(syms) == 1 and syms[0] < 256:
         bw.w(1, 1)  # simple
         bw.w(0, 1)  # one symbol
         bw.w(1, 1)  # 8-bit first symbol
         bw.w(syms[0], 8)
         return {syms[0]: (0, 0)}
-    if len(syms) == 2:
+    if len(syms) == 2 and syms[1] < 256:
         bw.w(1, 1)
         bw.w(1, 1)  # two symbols
         bw.w(1, 1)  # 8-bit first symbol
