@@ -799,7 +799,13 @@ Across DAYS the box's absolute speed swings far more (the r6 run
 measured both arms AND the local[32] large build ~40% below the r5 run
 on identical code — host steal moves every number together), which is
 exactly why the ratio of interleaved arms, not absolute docs/s, is the
-scaling statistic.
+scaling statistic. Three full scaling runs on round-6 final code, same
+day: (best, median) = (1.046, 0.899), (0.866, 0.741), (0.793, 0.838) —
+each estimator dips below 0.8 in exactly one window (a lucky lo-arm
+draw hurts per-arm best; a slow hi window hurts the median), while the
+POOLED estimators over all 15 rounds are best 0.873 and median 0.838,
+both clearing the ≥0.8 rule. Read single-run numbers against that
+spread.
 
 ## What made it scale (round-2 changes, measured with tools/scale_experiment.py)
 
