@@ -64,6 +64,37 @@ class MediaDecodeUnavailable(NotImplementedError):
     """Raised when a real decoder is required but none is plugged in."""
 
 
+def _typed_malformed(fmt: str):
+    """Typed-error boundary for untrusted container bytes: any low-level
+    parse explosion (short buffer, bad offset, corrupt zlib stream)
+    surfaces as MediaDecodeUnavailable, never as an untyped task failure
+    (the r5-ADVICE bug class; pinned by tests/test_media_fuzz.py)."""
+    import functools
+    import struct as _struct
+    import zlib as _zlib
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapped(*args, **kwargs):
+            try:
+                return fn(*args, **kwargs)
+            except (
+                _struct.error,
+                ValueError,
+                IndexError,
+                KeyError,
+                _zlib.error,
+                EOFError,
+            ) as ex:
+                raise MediaDecodeUnavailable(
+                    f"malformed {fmt} container: {type(ex).__name__}: {ex}"
+                ) from ex
+
+        return wrapped
+
+    return deco
+
+
 def _jpeg_dims(data: bytes) -> tuple[int, int]:
     """Walk JPEG markers to the first SOFn frame header (ITU T.81 §B.2.2):
     payload is [precision u8, height u16be, width u16be, ...]."""
@@ -163,6 +194,7 @@ def image_metadata(
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
+@_typed_malformed("PNG")
 def decode_png_pixels(data: bytes) -> np.ndarray:
     """REAL dep-free PNG pixel decode (RFC 2083): IDAT zlib inflate +
     per-scanline unfilter → uint8 array of shape (height, width, channels).
@@ -313,6 +345,7 @@ def decode_bmp_pixels(data: bytes) -> np.ndarray:
     return np.ascontiguousarray(px)
 
 
+@_typed_malformed("GIF")
 def decode_gif_frames(
     data: bytes, max_frames: int | None = None
 ) -> tuple[list[np.ndarray], list[int]]:
@@ -448,6 +481,7 @@ def decode_gif_pixels(data: bytes) -> np.ndarray:
     return decode_gif_frames(data, max_frames=1)[0][0]
 
 
+@_typed_malformed("GIF")
 def gif_frame_info(data: bytes) -> tuple[int, list[int]]:
     """(n_frames, per-frame delays in centiseconds) from the GIF block
     STRUCTURE alone — sub-block walk, zero LZW decompression, so the
