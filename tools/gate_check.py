@@ -2,7 +2,8 @@
 oracle_sql() twin on DuckDB at a given sf dir. Mirrors the driver's compare
 (sort columns by name, row count + per-value match, float tolerance).
 
-Usage: python tools/gate_check.py [sf_dir]
+Usage: python tools/gate_check.py [sf_dir] [gate_name ...]
+(no gate names = all gates)
 """
 
 from __future__ import annotations
@@ -15,6 +16,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])
 TABLES = (
     "region nation customer supplier part orders lineitem events documents "
     "embeddings"
@@ -42,6 +44,8 @@ def main():
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
             )
     qs, sqls = e.queries(), e.oracle_sql()
+    if ONLY:
+        qs = {n: f for n, f in qs.items() if n in ONLY}
     fails = []
     for name, fn in qs.items():
         try:
