@@ -32,8 +32,15 @@ Determinism contract (shared with the DuckDB twin in __spark_entry__.py):
 - a word's initial symbol sequence is its characters followed by a
   terminal ``</w>`` symbol;
 - training picks, each round, the pair with the highest summed frequency,
-  ties broken by (left ASC, right ASC); occurrence counting is positional
-  (``aaa`` contributes (a,a) twice), exactly subword-nmt's ``get_stats``;
+  ties broken by (left ASC, right ASC). NOTE (deliberate divergence,
+  ADVICE r6): subword-nmt's ``max(stats, key=lambda x: (stats[x], x))``
+  breaks frequency ties by the LARGEST pair instead; on tied corpora a
+  model trained here can differ from a subword-nmt-trained one. The ASC
+  tie-break is kept because the DuckDB twin replays it (ORDER BY left,
+  right) and the gate bit-compares 12 unrolled rounds against it — the
+  counting/merge semantics themselves match subword-nmt exactly;
+  occurrence counting is positional (``aaa`` contributes (a,a) twice),
+  exactly subword-nmt's ``get_stats``;
 - encoding repeatedly merges ALL occurrences (leftmost-nonoverlapping) of
   the lowest-rank pair present until no learned pair remains.
 

