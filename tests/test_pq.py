@@ -210,3 +210,53 @@ class TestRegexPrefix:
             for w in words:
                 if rx.fullmatch(w):
                     assert w.startswith(prefix), (pat, w, prefix)
+
+
+class TestRegexRequiredLiterals:
+    """_regex_required_literals: every fullmatch of the pattern must
+    CONTAIN every returned literal (no false negatives), brute-forced
+    over a small alphabet; plus shape cases for the r7 dictionary
+    contains-prefilter."""
+
+    def test_cases(self):
+        from bayard_spark.query.engine import SearchEngine
+
+        r = SearchEngine._regex_required_literals
+        assert r(".*journal.*") == ["journal"]
+        assert r("[a-z]*journal[0-9]+") == ["journal"]
+        assert r("jo[a-z]*") == ["jo"]
+        assert r("a{2,3}") == []          # quantifier body never a literal
+        assert r(".{2}x") == ["x"]
+        assert r("jo|x") == []            # alternation voids requirements
+        assert r("(?i)abc") == []         # inline flags void requirements
+        assert r("(foo|bar)baz") == ["baz"]  # groups opaque
+        assert r("foo(bar)?") == ["foo"]
+        assert r("a+b") == ["a", "b"]     # '+' keeps its atom, ends the run
+        assert r("a*b") == ["b"]
+        assert r(r"\d+abc") == ["abc"]
+        assert r(r"ab\.cd") == ["ab.cd"]
+        assert r("") == []
+
+    def test_safety_brute_force(self):
+        import itertools
+        import re
+
+        from bayard_spark.query.engine import SearchEngine
+
+        pats = [
+            "ab[cd]*", "a*b", "a(b|c)d", "abc?", "ab{1,2}c", "a.c",
+            "abc", "a\\db", "a+b", ".*bc.*", "a.?c", "[ab]+cd[ab]*",
+            "a{2}bc", "a\\.b", "x(yz)*w", "a..b", "ab+c", "]a",
+        ]
+        words = [
+            "".join(w)
+            for n in range(1, 6)
+            for w in itertools.product("abcd.1", repeat=n)
+        ]
+        for pat in pats:
+            req = SearchEngine._regex_required_literals(pat)
+            rx = re.compile(pat)
+            for w in words:
+                if rx.fullmatch(w):
+                    for lit in req:
+                        assert lit in w, (pat, w, lit)
