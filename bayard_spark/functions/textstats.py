@@ -189,7 +189,14 @@ def unigram_logprob(
     probs = counts.crossJoin(F.broadcast(total)).select(
         "term", (F.log(F.col("tc") / F.col("total"))).alias("logp")
     )
-    n_vocab = vocab_count if vocab_count is not None else counts.count()
+    if vocab_count is not None:
+        n_vocab = vocab_count
+    else:
+        # persist the term-count aggregation around the measuring count
+        # so the corpus-wide explode+groupBy is not recomputed by the
+        # probability join (same fix as bigram_logprob, ADVICE r6)
+        counts = counts.persist()
+        n_vocab = counts.count()
     if n_vocab <= broadcast_vocab_max:
         probs = F.broadcast(probs)
     per_doc = (

@@ -70,6 +70,14 @@ class WarcParseError(ValueError):
 STREAM_CHUNK = 1 << 20  # raw-input granularity fed to the decompressor
 MAX_HEADER = 1 << 16  # a WARC header block past 64 KB is malformed
 _COMPACT_AT = 8 << 20  # drop consumed buffer prefix beyond this
+# bound on a single decompress() call's output: a gzip bomb (~1000x
+# inflation) must emit in bounded chunks, not materialize whole
+# (ADVICE r6 — keeps the 'peak memory = compressed input + one batch'
+# contract honest on adversarial input)
+_MAX_INFLATE = 4 << 20
+# per-record Content-Length cap: a crafted multi-GB record yields one
+# parse_error row instead of buffering unboundedly in task memory
+MAX_RECORD_BYTES = 1 << 30
 
 
 def _chunks_of(buf, size: int = STREAM_CHUNK):
@@ -103,11 +111,15 @@ def _decompressed_stream(raw_chunks):
         if len(data):
             fed += len(data)
             try:
-                out = d.decompress(data)
+                out = d.decompress(data, _MAX_INFLATE)
+                while out:
+                    yield out
+                    tail = d.unconsumed_tail
+                    if not tail:
+                        break
+                    out = d.decompress(tail, _MAX_INFLATE)
             except zlib.error as ex:
                 return f"gzip member: {ex}"
-            if out:
-                yield out
             if d.eof:
                 data = d.unused_data
                 d = zlib.decompressobj(wbits=31)
@@ -267,6 +279,14 @@ def iter_warc_records(
                 raise ValueError
         except (KeyError, ValueError):
             yield fail(f"missing/invalid Content-Length at byte {pos}")
+            return
+        if clen > MAX_RECORD_BYTES:
+            # refuse to buffer an adversarial record whole (ADVICE r6);
+            # same end-the-file contract as the other record-level errors
+            yield fail(
+                f"record at byte {pos} Content-Length {clen} exceeds the "
+                f"{MAX_RECORD_BYTES} B cap"
+            )
             return
         body_start = hdr_end + 4
         if not need(body_start - start + clen):
