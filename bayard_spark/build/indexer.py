@@ -305,9 +305,35 @@ def encode_group_table(table: pa.Table, block_size: int = 128) -> pa.Table:
     min_len = np.minimum.reduceat(dlen, bstarts).astype(np.int32)
 
     nb = len(bstarts)
-    doc_bytes = [enc_d[off_d[bstarts[i]]:off_d[bends[i]]] for i in range(nb)]
-    tf_bytes = [enc_t[off_t[bstarts[i]]:off_t[bends[i]]] for i in range(nb)]
-    len_bytes = [enc_l[off_l[bstarts[i]]:off_l[bends[i]]] for i in range(nb)]
+    bidx = np.append(bstarts, n)
+
+    def _block_binary(enc: bytes, off: np.ndarray):
+        """Per-block payload column WITHOUT per-block Python: blocks tile
+        the group, so the block byte ranges are just off[bidx] — one
+        zero-copy BinaryArray over the whole-group encode buffer
+        (r7; the old per-block slice list comps were ~4 Python
+        objects per block × ~700k blocks per 960k-doc build). int64
+        offsets (a single group's payload could pass 2 GiB at extreme
+        scale) would need LargeBinary — fall back to slicing then."""
+        boff = off[bidx]
+        if boff[-1] < (1 << 31):
+            return pa.BinaryArray.from_buffers(
+                pa.binary(),
+                nb,
+                [
+                    None,
+                    pa.py_buffer(boff.astype(np.int32).tobytes()),
+                    pa.py_buffer(enc),
+                ],
+            )
+        return pa.array(
+            [enc[off[bidx[i]]:off[bidx[i + 1]]] for i in range(nb)],
+            type=pa.binary(),
+        )
+
+    doc_bytes = _block_binary(enc_d, off_d)
+    tf_bytes = _block_binary(enc_t, off_t)
+    len_bytes = _block_binary(enc_l, off_l)
 
     if has_pos:
         # gather the (sorted-order) per-row byte runs into one buffer with a
@@ -329,18 +355,26 @@ def encode_group_table(table: pa.Table, block_size: int = 128) -> pa.Table:
             + np.arange(total, dtype=np.int64)
         )
         pdata = pvals[gather].tobytes()
-        pos_bytes = [
-            pdata[out_off[bstarts[i]]:out_off[bends[i]]] for i in range(nb)
-        ]
+        pos_bytes = _block_binary(pdata, out_off)
     else:
-        pos_bytes = [b""] * nb
+        pos_bytes = pa.BinaryArray.from_buffers(
+            pa.binary(),
+            nb,
+            [
+                None,
+                pa.py_buffer(np.zeros(nb + 1, dtype=np.int32).tobytes()),
+                pa.py_buffer(b""),
+            ],
+        )
 
     term_vals = pa.DictionaryArray.from_arrays(
         pa.array(tcodes[bstarts], type=pa.int32()), tdict
     ).cast(pa.string())
-    field_vals = pa.array(
-        [fdict[int(c)] for c in fcodes[bstarts]], type=pa.string()
-    )
+    # dictionary-coded field column too — no per-block Python (r7)
+    field_vals = pa.DictionaryArray.from_arrays(
+        pa.array(fcodes[bstarts].astype(np.int32)),
+        pa.array(fdict, type=pa.string()),
+    ).cast(pa.string())
     return pa.table(
         {
             "field": field_vals,
@@ -355,10 +389,10 @@ def encode_group_table(table: pa.Table, block_size: int = 128) -> pa.Table:
             "min_tf": pa.array(min_tf),
             "min_len": pa.array(min_len),
             "max_len": pa.array(max_len),
-            "doc_bytes": pa.array(doc_bytes, type=pa.binary()),
-            "tf_bytes": pa.array(tf_bytes, type=pa.binary()),
-            "len_bytes": pa.array(len_bytes, type=pa.binary()),
-            "pos_bytes": pa.array(pos_bytes, type=pa.binary()),
+            "doc_bytes": doc_bytes,
+            "tf_bytes": tf_bytes,
+            "len_bytes": len_bytes,
+            "pos_bytes": pos_bytes,
         }
     )
 
