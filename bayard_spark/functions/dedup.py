@@ -145,6 +145,7 @@ def paragraph_dedup(
     sep: str = "\n\n",
     max_count: int = 1,
     dup_count: int | None = None,
+    measure_dups: bool = True,
 ) -> DataFrame:
     """Corpus-level duplicate-paragraph removal (the CCNet / RefinedWeb
     line-dedup stage): split every document on `sep`, count each exact
@@ -170,7 +171,15 @@ def paragraph_dedup(
     groupBy, count join, reassembly). When ``dup_count`` is unknown, one
     count() job measures the dup set; the filtered (tiny) dup frame is
     persisted around that count so the measuring pass is not recomputed
-    by the main query. md5 (128-bit) keys keep collision probability
+    by the main query (the cache lives until session end / LRU eviction
+    — callers invoking this repeatedly in one long session should pass
+    ``dup_count`` to skip both the job and the persist).
+    ``measure_dups=False`` skips the measuring job entirely: plan
+    construction stays action-free (the pipeline composer's contract)
+    and the explicit broadcast hint is dropped — with AQE on, the join
+    still converts to a runtime broadcast when the dup set's REAL
+    materialized size is small, and otherwise takes the plain 32-byte
+    hash-key join. md5 (128-bit) keys keep collision probability
     negligible at any corpus size (the same discipline as span_dedup's
     window hashes). Reassembly sorts the (pos, para) structs inside each
     doc's collected array — per-doc memory, bounded by document size,
@@ -186,12 +195,16 @@ def paragraph_dedup(
         .where(F.col("cnt") > max_count)
         .select("h")
     )
-    if dup_count is None:
+    if dup_count is not None:
+        right = (
+            F.broadcast(dup) if dup_count <= PARA_DUP_BROADCAST_MAX else dup
+        )
+    elif measure_dups:
         dup = dup.persist()
         n_dup = dup.count()
+        right = F.broadcast(dup) if n_dup <= PARA_DUP_BROADCAST_MAX else dup
     else:
-        n_dup = dup_count
-    right = F.broadcast(dup) if n_dup <= PARA_DUP_BROADCAST_MAX else dup
+        right = dup  # AQE decides from runtime sizes; no action, no hint
     tagged = (
         paras.withColumn("h", F.md5("para"))
         .join(right.withColumn("_dup", F.lit(1)), "h", "left")

@@ -58,6 +58,11 @@ def _step_pii(cur: DataFrame, **kw) -> DataFrame:
 def _step_para_dedup(cur: DataFrame, **kw) -> DataFrame:
     from bayard_spark.functions.dedup import paragraph_dedup
 
+    # measure_dups=False keeps plan construction action-free (the
+    # composer contract: no jobs until the caller acts); AQE picks the
+    # broadcast at runtime from the dup set's real size. A recipe can
+    # still pass dup_count/measure_dups explicitly.
+    kw.setdefault("measure_dups", False)
     out = paragraph_dedup(cur, text_col="text", id_col="doc_id", **kw)
     return out.select("doc_id", F.col("text_clean").alias("text"))
 

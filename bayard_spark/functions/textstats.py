@@ -194,7 +194,11 @@ def unigram_logprob(
     else:
         # persist the term-count aggregation around the measuring count
         # so the corpus-wide explode+groupBy is not recomputed by the
-        # probability join (same fix as bigram_logprob, ADVICE r6)
+        # probability join (same fix as bigram_logprob, ADVICE r6). The
+        # cache lives until session end / LRU eviction — it cannot be
+        # unpersisted here without recomputing the join side, so
+        # long-lived sessions calling this repeatedly should pass
+        # vocab_count (the production form) to skip job and persist.
         counts = counts.persist()
         n_vocab = counts.count()
     if n_vocab <= broadcast_vocab_max:
@@ -285,9 +289,10 @@ def bigram_logprob(
         # corpus-wide pair aggregation; without a persist the heaviest
         # shuffle in the op runs twice (ADVICE r6). The persisted frame
         # is the distinct-pair count table (bounded by the vocabulary
-        # the broadcast gate is sized for); callers that know the
-        # cardinality pass pair_count and skip both the job and the
-        # persist.
+        # the broadcast gate is sized for) and lives until session end /
+        # LRU eviction — callers that know the cardinality pass
+        # pair_count (the production form) and skip both the job and
+        # the persist.
         big = big.persist()
         n_pairs = big.count()
         # (the `probs` plan built above references the same `big` logical

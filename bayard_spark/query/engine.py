@@ -914,12 +914,33 @@ class SearchEngine:
                 runs.append("".join(cur))
                 cur.clear()
 
+        def skip_class(j: int) -> int:
+            """Index just past the ']' closing the class opened at j
+            (pattern[j] == '['); ']' is literal when first (after '^')."""
+            j += 1
+            if j < n and pattern[j] == "^":
+                j += 1
+            if j < n and pattern[j] == "]":
+                j += 1
+            while j < n and pattern[j] != "]":
+                if pattern[j] == "\\":
+                    j += 1
+                j += 1
+            return j + 1
+
         while i < n:
             ch = pattern[i]
             if depth > 0:
-                # opaque group content: only track nesting and escapes
+                # opaque group content: only track nesting, escapes and
+                # classes — a '(' or ')' INSIDE a class is a literal and
+                # must not move the depth (a class-in-group pattern like
+                # '(a[)]b)?x' would otherwise corrupt the walk and emit
+                # literals that are not required at all)
                 if ch == "\\":
                     i += 2
+                    continue
+                if ch == "[":
+                    i = skip_class(i)
                     continue
                 if ch == "(":
                     depth += 1
@@ -953,17 +974,7 @@ class SearchEngine:
                 continue
             if ch == "[":
                 flush()
-                # skip the class: ']' is literal when first (after '^')
-                j = i + 1
-                if j < n and pattern[j] == "^":
-                    j += 1
-                if j < n and pattern[j] == "]":
-                    j += 1
-                while j < n and pattern[j] != "]":
-                    if pattern[j] == "\\":
-                        j += 1
-                    j += 1
-                i = j + 1
+                i = skip_class(i)
                 continue
             if ch == "|":
                 # depth-0 alternation: either side can match alone, so

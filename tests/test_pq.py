@@ -236,6 +236,11 @@ class TestRegexRequiredLiterals:
         assert r(r"\d+abc") == ["abc"]
         assert r(r"ab\.cd") == ["ab.cd"]
         assert r("") == []
+        # classes INSIDE groups must not corrupt depth tracking (r7
+        # review finding: '(a[)]b*c)?x' used to claim ']','c' required)
+        assert r("(a[)]b*c)?x") == ["x"]
+        assert r("[(]ab") == ["ab"]
+        assert r("(x[([]y)z") == ["z"]
 
     def test_safety_brute_force(self):
         import itertools
@@ -247,6 +252,7 @@ class TestRegexRequiredLiterals:
             "ab[cd]*", "a*b", "a(b|c)d", "abc?", "ab{1,2}c", "a.c",
             "abc", "a\\db", "a+b", ".*bc.*", "a.?c", "[ab]+cd[ab]*",
             "a{2}bc", "a\\.b", "x(yz)*w", "a..b", "ab+c", "]a",
+            "(a[.]b*c)?d", "[(]ab", "(a[(]b)?cd", "a[]]b",
         ]
         words = [
             "".join(w)

@@ -45,6 +45,12 @@ def main():
             )
     qs, sqls = e.queries(), e.oracle_sql()
     if ONLY:
+        unknown = ONLY - set(qs)
+        if unknown:
+            # a typo'd gate name must fail loudly, not report all-green
+            # on zero gates
+            print(f"unknown gate name(s): {sorted(unknown)}")
+            sys.exit(2)
         qs = {n: f for n, f in qs.items() if n in ONLY}
     fails = []
     for name, fn in qs.items():
